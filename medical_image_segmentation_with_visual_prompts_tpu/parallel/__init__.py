@@ -1,0 +1,11 @@
+from .mesh import (batch_sharding, make_mesh, replicate, replicated,
+                   shard_batch)
+from .sliding_window import (make_sliding_window_fn, pad_starts,
+                             window_starts)
+from .train_parallel import make_dp_serving_step, make_dp_train_step
+
+__all__ = [
+    "batch_sharding", "make_mesh", "replicate", "replicated", "shard_batch",
+    "make_sliding_window_fn", "pad_starts", "window_starts",
+    "make_dp_serving_step", "make_dp_train_step",
+]

@@ -1,0 +1,147 @@
+"""Device-side batched sliding-window 3D inference.
+
+The reference's test-time bottleneck is a host-side loop: center-crop,
+``unfold`` on the CPU, re-batch windows in chunks of 10, one
+host→device copy per chunk (segmentation.py:229-266; SURVEY.md §3.4 ★).
+Here the entire pipeline is ONE jitted XLA program per volume shape:
+
+* window extraction by ``dynamic_slice`` under ``lax.scan`` (overlapping
+  windows, stride = roi/2) straight from the device-resident volume;
+* chunked model forwards inside the same program (scan over chunks);
+* two output modes:
+  - ``per_window`` — per-window metric statistics, exactly the
+    reference's evaluation protocol (no stitching);
+  - ``gaussian`` — NEW capability: softmax probabilities are blended
+    into a full-volume prediction with a separable Gaussian importance
+    map (σ = roi/8), then argmax'd — the standard sliding-window
+    inference medical pipelines expect.
+
+The window batch is padded to a fixed chunk size so every volume shape
+compiles exactly one program; padded windows carry zero blend weight /
+are masked from the metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_starts(image_size: Sequence[int], window: Sequence[int]
+                  ) -> Tuple[Tuple[slice, ...], np.ndarray]:
+    """Center-crop slices + [N, 3] window start offsets (ref :229-252)."""
+    stride = [w // 2 for w in window]
+    slices, axes = [], []
+    for i in range(3):
+        adj = (image_size[i] - window[i]) // stride[i] * stride[i] + window[i]
+        begin = (image_size[i] - adj) // 2
+        slices.append(slice(begin, begin + adj))
+        axes.append(np.arange(0, adj - window[i] + 1, stride[i]))
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    return tuple(slices), grid.astype(np.int32)
+
+
+def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125
+                         ) -> np.ndarray:
+    """Separable Gaussian importance map over a window (center-weighted)."""
+    maps = []
+    for w in window:
+        x = np.arange(w, dtype=np.float32) - (w - 1) / 2.0
+        sigma = max(w * sigma_scale, 1e-3)
+        maps.append(np.exp(-0.5 * (x / sigma) ** 2))
+    g = np.einsum("i,j,k->ijk", *maps).astype(np.float32)
+    return np.maximum(g, 1e-4)
+
+
+def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
+                           num_classes: int, mode: str = "gaussian"):
+    """Build a jitted volume → prediction/stats function.
+
+    Args:
+      apply_fn: ``(image_batch [chunk, *window, C_in]) -> logits
+        [chunk, *window, num_classes]`` (closes over variables).
+      window: roi size.
+      chunk: fixed window batch size per forward.
+      num_classes: segmentation classes.
+      mode: ``gaussian`` (returns stitched class-probability volume) or
+        ``per_window`` (returns per-window argmax predictions).
+
+    The returned fn takes (volume [H', W', D', C_in] already center-
+    cropped, starts [N, 3] int32) with N padded to a multiple of
+    ``chunk`` (pad starts with 0 and pass ``n_valid``).
+    """
+    wh, ww, wd = window
+    gauss = jnp.asarray(_gaussian_importance(window))
+
+    @jax.jit
+    def run(volume, starts, n_valid):
+        n = starts.shape[0]
+        n_chunks = n // chunk
+
+        def gather_window(s):
+            return jax.lax.dynamic_slice(
+                volume, (s[0], s[1], s[2], 0),
+                (wh, ww, wd, volume.shape[-1]))
+
+        if mode == "gaussian":
+            out_shape = volume.shape[:3] + (num_classes,)
+            acc = jnp.zeros(out_shape, jnp.float32)
+            wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32)
+
+            def body(carry, idx):
+                acc, wacc = carry
+                s_chunk = jax.lax.dynamic_slice(starts, (idx * chunk, 0),
+                                                (chunk, 3))
+                batch = jax.vmap(gather_window)(s_chunk)
+                probs = jax.nn.softmax(apply_fn(batch), axis=-1)
+                valid = (idx * chunk + jnp.arange(chunk)) < n_valid
+                w = gauss[..., None] * valid[:, None, None, None, None]
+                probs = probs * w
+
+                def scatter(carry, i):
+                    acc, wacc = carry
+                    s = s_chunk[i]
+                    cur = jax.lax.dynamic_slice(
+                        acc, (s[0], s[1], s[2], 0),
+                        (wh, ww, wd, num_classes))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + probs[i], (s[0], s[1], s[2], 0))
+                    curw = jax.lax.dynamic_slice(
+                        wacc, (s[0], s[1], s[2], 0), (wh, ww, wd, 1))
+                    wacc = jax.lax.dynamic_update_slice(
+                        wacc, curw + w[i], (s[0], s[1], s[2], 0))
+                    return (acc, wacc), None
+
+                (acc, wacc), _ = jax.lax.scan(scatter, (acc, wacc),
+                                              jnp.arange(chunk))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
+                                          jnp.arange(n_chunks))
+            return acc / jnp.maximum(wacc, 1e-8)
+
+        # per_window mode: per-window argmax predictions [N, *window].
+        def body(_, idx):
+            s_chunk = jax.lax.dynamic_slice(starts, (idx * chunk, 0),
+                                            (chunk, 3))
+            batch = jax.vmap(gather_window)(s_chunk)
+            pred = jnp.argmax(apply_fn(batch), axis=-1)
+            return None, pred
+
+        _, preds = jax.lax.scan(body, None, jnp.arange(n_chunks))
+        return preds.reshape((n,) + tuple(window))
+
+    return run
+
+
+def pad_starts(starts: np.ndarray, chunk: int) -> Tuple[np.ndarray, int]:
+    n_valid = starts.shape[0]
+    n_pad = (-n_valid) % chunk
+    if n_pad:
+        starts = np.concatenate(
+            [starts, np.zeros((n_pad, 3), starts.dtype)])
+    return starts, n_valid

@@ -38,6 +38,14 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _flat_leaves(tree):
+    """Serialize arbitrary pytrees (optax states contain custom nodes
+    msgpack can't encode) as a flat leaf list; ``restore_like`` rebuilds
+    the structure from a live template."""
+    return {"__flat_leaves__": [np.asarray(x)
+                                for x in jax.tree_util.tree_leaves(tree)]}
+
+
 def save_checkpoint(path: Path, current_epoch: int, model_state: Any,
                     optimizer_state: Any = None, scheduler_state: Any = None,
                     teacher_state: Any = None) -> Path:
@@ -49,7 +57,7 @@ def save_checkpoint(path: Path, current_epoch: int, model_state: Any,
     payload: Dict[str, Any] = {
         "current_epoch": int(current_epoch),
         "model_state_dict": _to_numpy(model_state),
-        "optimizer_state_dict": _to_numpy(optimizer_state),
+        "optimizer_state_dict": _flat_leaves(optimizer_state),
         "scheduler_state_dict": _to_numpy(scheduler_state),
     }
     if teacher_state is not None:
@@ -82,20 +90,23 @@ def restore_like(template: Any, state: Any) -> Any:
 
 
 def merge_state(current: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
-    """Tolerant dict-merge: loaded keys overwrite, missing keys survive.
+    """Tolerant dict-merge: loaded keys overwrite where they exist.
 
-    Nested-dict analogue of the reference's state_dict merge
-    (segmentation.py:69-75): every path present in ``loaded`` replaces the
-    value in ``current``; paths only in ``current`` are kept.
+    Nested-dict analogue of the reference's filtered state_dict merge
+    (students_teacher.py:133-135 ``if name in current_state_dict``):
+    paths present in BOTH trees take the loaded value; paths only in
+    ``current`` (e.g. prompt tokens, new heads) keep their fresh init;
+    paths only in ``loaded`` (e.g. phase-1 proxy heads entering a
+    decoder-mode model) are ignored.  Unlike the reference — where both
+    merge sites mutate a state_dict copy that is never loaded back (a
+    silent no-op, SURVEY appendix #4) — the result here is actually used.
     """
 
     def _merge(cur, new):
         if isinstance(cur, dict) and isinstance(new, dict):
-            out = dict(cur)
-            for k, v in new.items():
-                out[k] = _merge(cur[k], v) if k in cur else v
-            return out
+            return {k: (_merge(v, new[k]) if k in new else v)
+                    for k, v in cur.items()}
         return np.asarray(new).reshape(np.shape(cur)).astype(
-            np.asarray(cur).dtype) if cur is not None else new
+            np.asarray(cur).dtype)
 
     return _merge(current, loaded)

@@ -1,0 +1,76 @@
+"""Wiring/registry: training-mode → trainer class and loader factory.
+
+Parity with /root/reference/src/utils/initialization.py:6-64, including
+the quirk that test mode always uses the downstream test loader and
+passes it in the *train_loader* slot (:16-22, :63-64).
+"""
+
+from __future__ import annotations
+
+from ..data import (get_fit_loader_downstream,
+                    get_fit_loader_self_supervised_learning,
+                    get_fit_loader_supervised_learning,
+                    get_test_loader_downstream)
+from ..models import SwinUnetR
+from ..train import MultiViewTrainer, SegmentationTrainer, \
+    StudentsTeacherTrainer
+from .loggers import get_logger, get_summary_writer
+
+
+def setup_fitting(hparams):
+    backbone = select_backbone(hparams)
+    train_loader, val_loader = select_fitting_loader(hparams)
+    logger = get_logger(hparams.log_dir)
+    writer = get_summary_writer(hparams.summary_dir)
+    return select_trainer(hparams, backbone, train_loader, val_loader,
+                          logger, writer)
+
+
+def setup_testing(hparams):
+    backbone = select_backbone(hparams)
+    loader = select_testing_loader(hparams)
+    logger = get_logger(hparams.log_dir)
+    writer = get_summary_writer(hparams.summary_dir)
+    # The test loader rides in the train_loader slot (ref :21).
+    return select_trainer(hparams, backbone, loader, None, logger, writer)
+
+
+def select_backbone(hparams):
+    if hparams.backbone == "swin_unetr":
+        return SwinUnetR
+    raise NotImplementedError()
+
+
+def select_trainer(hparams, backbone, train_loader, val_loader, logger,
+                   writer):
+    mode = hparams.training_mode
+    if mode == "self_supervised_learning_encoder":
+        return MultiViewTrainer(hparams, backbone, train_loader, val_loader,
+                                logger, writer)
+    if mode in ("self_supervised_learning_decoder",
+                "self_supervised_learning_all",
+                "supervised_learning_decoder",
+                "supervised_learning_all"):
+        return StudentsTeacherTrainer(hparams, backbone, train_loader,
+                                      val_loader, logger, writer)
+    if mode == "downstream":
+        return SegmentationTrainer(hparams, backbone, train_loader,
+                                   val_loader, logger, writer)
+    raise NotImplementedError()
+
+
+def select_fitting_loader(hparams):
+    mode = hparams.training_mode
+    if mode == "downstream":
+        return get_fit_loader_downstream(hparams)
+    if mode in ("self_supervised_learning_encoder",
+                "self_supervised_learning_decoder",
+                "self_supervised_learning_all"):
+        return get_fit_loader_self_supervised_learning(hparams)
+    if mode in ("supervised_learning_decoder", "supervised_learning_all"):
+        return get_fit_loader_supervised_learning(hparams)
+    raise NotImplementedError()
+
+
+def select_testing_loader(hparams):
+    return get_test_loader_downstream(hparams)

@@ -27,13 +27,15 @@ def warmup_cosine(base_lr: float, warmup_steps: int, t_total: int,
     guards and clamping at zero).
     """
 
-    def schedule(step) -> float:
-        step = float(step)
-        if step < warmup_steps:
-            return base_lr * step / max(1.0, float(warmup_steps))
+    def schedule(step):
+        # jnp-traceable: optax passes a traced step count inside jit.
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / max(1.0, float(warmup_steps))
         progress = (step - warmup_steps) / float(max(1, t_total - warmup_steps))
-        return base_lr * max(
-            0.0, 0.5 * (1.0 + math.cos(math.pi * float(cycles) * 2.0 * progress)))
+        cos = base_lr * jnp.maximum(
+            0.0, 0.5 * (1.0 + jnp.cos(math.pi * float(cycles) * 2.0 * progress)))
+        return jnp.where(step < warmup_steps, warm, cos)
 
     return schedule
 

@@ -106,12 +106,14 @@ def test_save_ckpt_absolute_kept(yaml_file):
 def test_schedules():
     from medical_image_segmentation_with_visual_prompts_tpu.utils import (
         step_decay, warmup_cosine)
+    # Schedules are jnp-traceable (optax passes traced counts); compare
+    # at float32 precision.
     s = warmup_cosine(1.0, warmup_steps=10, t_total=110)
-    assert s(0) == 0.0
-    assert abs(s(5) - 0.5) < 1e-12
-    assert abs(s(10) - 1.0) < 1e-12   # cosine at progress 0
-    assert abs(s(60) - 0.5) < 1e-12   # halfway: cos(pi/2) -> 0.5
-    assert abs(s(110) - 0.0) < 1e-12  # end of schedule
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 0.5) < 1e-6
+    assert abs(float(s(10)) - 1.0) < 1e-6   # cosine at progress 0
+    assert abs(float(s(60)) - 0.5) < 1e-6   # halfway: cos(pi/2) -> 0.5
+    assert abs(float(s(110)) - 0.0) < 1e-6  # end of schedule
     d = step_decay(2.0, step_size=100, gamma=0.8)
     assert d(0) == 2.0 and d(99) == 2.0
     assert abs(d(100) - 1.6) < 1e-12

@@ -1,0 +1,76 @@
+"""Fused Pallas window-attention kernel: parity vs. the XLA einsum path.
+
+Runs in Pallas interpreter mode on CPU (the real kernel runs on TPU; the
+semantics are identical by construction).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.ops.window_attention_pallas import (
+    fused_window_attention)
+
+
+def _reference(qh, kh, vh, pos_bias, mask, scale):
+    attn = jnp.einsum("bpihd,bpjhd->bphij", qh, kh) * scale
+    if pos_bias is not None:
+        attn = attn + pos_bias
+    if mask is not None:
+        attn = attn * mask
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bphij,bpjhd->bpihd", attn, vh)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_fused_matches_einsum(with_mask):
+    b, p, n, h, dh = 2, 4, 24, 2, 8
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    qh = _rand(keys[0], (b, p, n, h, dh))
+    kh = _rand(keys[1], (b, p, n, h, dh))
+    vh = _rand(keys[2], (b, p, n, h, dh))
+    bias = _rand(keys[3], (1, 1, h, n, n))
+    mask = None
+    if with_mask:
+        m = (jax.random.uniform(keys[4], (1, p, 1, n, n)) > 0.3)
+        mask = m.astype(jnp.float32)
+    scale = dh ** -0.5
+    want = _reference(qh, kh, vh, bias, mask, scale)
+    got = fused_window_attention(qh, kh, vh, bias, mask, scale,
+                                 interpret=True)
+    # Kernel matmuls run in bf16 (fp32 accumulate): bf16-level tolerance.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_fused_backward_matches_einsum():
+    b, p, n, h, dh = 1, 2, 16, 2, 4
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    qh = _rand(keys[0], (b, p, n, h, dh))
+    kh = _rand(keys[1], (b, p, n, h, dh))
+    vh = _rand(keys[2], (b, p, n, h, dh))
+    bias = _rand(keys[3], (1, 1, h, n, n))
+    mask = (jax.random.uniform(keys[4], (1, p, 1, n, n)) > 0.3).astype(
+        jnp.float32)
+    scale = dh ** -0.5
+
+    def loss_fused(q, k, v, b_):
+        out = fused_window_attention(q, k, v, b_, mask, scale,
+                                     interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v, b_):
+        return jnp.sum(_reference(q, k, v, b_, mask, scale) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(qh, kh, vh, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qh, kh, vh, bias)
+    # The backward recomputes in fp32, but its incoming cotangent comes
+    # from the bf16 forward output — bf16-level tolerance.
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=3e-2, atol=3e-2)

@@ -1,0 +1,82 @@
+"""Window partition/reverse and shifted-window mask tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_segmentation_with_visual_prompts_tpu.ops.windows import (
+    compute_paddings, get_attn_mask, window_partition, window_reverse)
+
+
+def test_partition_reverse_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4, 3)).astype(np.float32))
+    win = (4, 4, 2)
+    w = window_partition(x, win)
+    assert w.shape == (2, 2 * 2 * 2, 4 * 4 * 2, 3)
+    back = window_reverse(w, win, (8, 8, 4))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_partition_is_dilated():
+    # Reference quirk (swin_block.py:292-299): window w contains voxels at
+    # stride = #windows per axis, i.e. window 0 holds positions 0, P1, 2*P1...
+    h = 8
+    x = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1, 1)
+    w = window_partition(x, (4, 1, 1))  # p1 = 2 windows
+    w = np.asarray(w)[0, :, :, 0]
+    np.testing.assert_array_equal(w[0], [0, 2, 4, 6])
+    np.testing.assert_array_equal(w[1], [1, 3, 5, 7])
+
+
+def test_compute_paddings():
+    assert compute_paddings((8, 8, 4), (8, 8, 4)) == (0,) * 6
+    # 5 % 4 = 1 -> pad 3 split floor/ceil = (1, 2)
+    assert compute_paddings((5, 8, 4), (4, 8, 4)) == (1, 2, 0, 0, 0, 0)
+
+
+def test_attn_mask_no_padding_regions():
+    mask = get_attn_mask((8, 8, 4), (4, 4, 2), (2, 2, 1), (0,) * 6)
+    n = 4 * 4 * 2
+    assert mask.shape == (8, n, n)
+    # 0/1 multiplicative mask, symmetric, diagonal allowed.
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(mask, np.transpose(mask, (0, 2, 1)))
+    assert np.all(mask[:, np.arange(n), np.arange(n)] == 1.0)
+    # The first (non-wrapped) window must be fully visible to itself...
+    # careful: dilated windows mix regions, so just check some blocking
+    # exists overall for a shifted mask.
+    assert mask.min() == 0.0
+
+
+def test_attn_mask_padding_relabels_interior():
+    # With padding, the whole interior gets label 100 (reference
+    # swin_block.py:345-350): all interior voxels may attend to each
+    # other; padded voxels may not attend to the interior.
+    shape, win, shift = (8, 8, 4), (4, 4, 4), (2, 2, 2)
+    pads = (0, 0, 0, 0, 1, 1)  # depth padded by 1 front/back
+    mask = get_attn_mask(shape, win, shift, pads)
+    # Rebuild labels to identify interior positions after windowing.
+    lab = np.zeros(shape, dtype=np.float32)
+    lab[pads[0]:shape[0] - pads[1], pads[2]:shape[1] - pads[3],
+        pads[4]:shape[2] - pads[5]] = 1.0
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows import \
+        _window_partition_np
+    lw = _window_partition_np(lab, win)  # [P, N], 1 = interior
+    for p in range(mask.shape[0]):
+        interior = lw[p] == 1.0
+        if interior.sum() >= 2:
+            sub = mask[p][np.ix_(interior, interior)]
+            assert np.all(sub == 1.0)  # interior fully mutually visible
+        cross = mask[p][np.ix_(interior, ~interior)]
+        if cross.size:
+            assert np.all(cross == 0.0)  # interior cannot see padding
+
+
+def test_attn_mask_zero_shift_axis_matches_reference_slicing():
+    # With shift 0 on an axis the final region label covers the whole
+    # axis (negative-zero slice semantics) — the axis then contributes no
+    # region separation at all.
+    m_shift_d0 = get_attn_mask((8, 8, 4), (4, 4, 4), (2, 2, 0), (0,) * 6)
+    m_3d = get_attn_mask((8, 8, 4), (4, 4, 4), (2, 2, 2), (0,) * 6)
+    # Removing one shifted axis can only unblock pairs, never block more.
+    assert np.all(m_shift_d0 >= m_3d)
