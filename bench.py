@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: full-model compiles through the remote
+# TPU compile service are slow; cache binaries across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 EST_A100_VOLUMES_PER_SEC = 2.0
 VOLUME = (320, 320, 24)       # 4*4*5 = 80 roi-sized windows at stride roi/2
 CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))

@@ -68,7 +68,7 @@ def _parse_header(raw: bytes) -> dict:
     hdr["srow_x"] = struct.unpack_from(endian + "4f", raw, 280)
     hdr["srow_y"] = struct.unpack_from(endian + "4f", raw, 296)
     hdr["srow_z"] = struct.unpack_from(endian + "4f", raw, 312)
-    hdr["magic"] = raw[344:348]
+    hdr["magic"] = bytes(raw[344:348])
     return hdr
 
 
@@ -93,9 +93,17 @@ def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
     header's spatial shape (3D; trailing singleton dims squeezed), affine
     the 4x4 voxel→world transform.
     """
+    from . import native
+
     path = Path(path)
-    raw = (gzip.open(path, "rb").read() if path.name.endswith(".gz")
-           else path.read_bytes())
+    if path.name.endswith(".gz"):
+        raw = None
+        if native.available():
+            raw = native.gunzip(path.read_bytes())
+        if raw is None:
+            raw = gzip.open(path, "rb").read()
+    else:
+        raw = path.read_bytes()
     hdr = _parse_header(raw)
     ndim = hdr["dim"][0]
     shape = tuple(int(s) for s in hdr["dim"][1:1 + ndim])
@@ -107,9 +115,19 @@ def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
     if offset == 0:
         offset = 352
     count = int(np.prod(shape))
+    slope, inter = hdr["scl_slope"], hdr["scl_inter"]
+    # Native fast path: 3D little-endian float32 volumes -> C-order with
+    # slope/inter applied in one pass.  Integer payloads (label masks)
+    # take the numpy path so their dtype is preserved for the caller.
+    if (len(shape) == 3 and hdr["endian"] == "<"
+            and hdr["datatype"] == 16 and native.available()):
+        payload = raw[offset: offset + count * dtype.itemsize]
+        data = native.decode_f32(payload, hdr["datatype"], shape,
+                                 slope if slope != 0.0 else 1.0, inter)
+        if data is not None:
+            return data, _affine_of(hdr)
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     data = data.reshape(shape, order="F")
-    slope, inter = hdr["scl_slope"], hdr["scl_inter"]
     if slope not in (0.0, 1.0) or inter != 0.0:
         if slope == 0.0:
             slope = 1.0

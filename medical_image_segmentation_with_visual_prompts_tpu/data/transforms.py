@@ -37,7 +37,11 @@ from .nifti import load_nifti
 def scale_intensity_range(x: np.ndarray, a_min: float = -1000.0,
                           a_max: float = 1000.0, b_min: float = 0.0,
                           b_max: float = 1.0, clip: bool = True) -> np.ndarray:
-    x = (x.astype(np.float32) - a_min) / (a_max - a_min)
+    from . import native
+    x = np.array(x, dtype=np.float32, order="C", copy=True)
+    if native.scale_intensity(x, a_min, a_max, b_min, b_max, clip):
+        return x  # single-pass native windowing (in place on our copy)
+    x = (x - a_min) / (a_max - a_min)
     x = x * (b_max - b_min) + b_min
     if clip:
         x = np.clip(x, b_min, b_max)

@@ -62,43 +62,54 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     o_ref[:] = o.reshape(g, h, n, dh).astype(o_ref.dtype)
 
 
-def _pick_group(bp: int, p: int, num_heads: int, n: int) -> int:
-    """Largest window group whose score tensor stays well under VMEM."""
-    budget = 4 * 1024 * 1024  # bytes for the fp32 [G, H, N, N] scores
-    g = int(max(min(budget // max(num_heads * n * n * 4, 1), 8), 1))
+_VMEM_BUDGET = 8 * 1024 * 1024  # conservative half of ~16 MB VMEM
+
+
+def _pick_blocks(bp: int, p, num_heads: int, n: int):
+    """(window group g, head block hb) keeping scores+probs+bias in budget.
+
+    Per-program VMEM ≈ 2·g·hb·n²·4 (fp32 scores + softmax temp)
+    + hb·n²·4 (bias block); qkv blocks are comparatively tiny.
+    """
+    per_head = n * n * 4
+    hb = num_heads
+    while hb > 1 and (3 * hb * per_head > _VMEM_BUDGET or num_heads % hb):
+        hb -= 1
+    g = max(int((_VMEM_BUDGET - hb * per_head) // (2 * hb * per_head)), 1)
+    g = min(g, 8)
     while g > 1 and (bp % g or (p is not None and p % g)):
         g -= 1
-    return g
+    return g, hb
 
 
 def _forward_pallas(q, k, v, bias, mask, scale, interpret=False):
     """q/k/v: [BP, H, N, Dh]; bias: [H, N, N]; mask: [P, N, N] or None."""
     bp, num_heads, n, dh = q.shape
     p = mask.shape[0] if mask is not None else None
-    g = _pick_group(bp, p, num_heads, n)
+    g, hb = _pick_blocks(bp, p, num_heads, n)
     kernel = functools.partial(
-        _attention_kernel, scale=scale, num_heads=num_heads, group=g,
+        _attention_kernel, scale=scale, num_heads=hb, group=g,
         with_mask=mask is not None)
-    qkv_spec = pl.BlockSpec((g, num_heads, n, dh), lambda i: (i, 0, 0, 0),
+    qkv_spec = pl.BlockSpec((g, hb, n, dh), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+    bias_spec = pl.BlockSpec((hb, n, n), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
     args = [q, k, v, bias]
     if mask is not None:
         pg = p // g
-        in_specs.append(pl.BlockSpec((g, n, n), lambda i: (i % pg, 0, 0),
+        in_specs.append(pl.BlockSpec((g, n, n), lambda i, j: (i % pg, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
     else:
         # Placeholder ref so the kernel signature is uniform.
-        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.zeros((1, 1, 1), q.dtype))
     flops = 4 * bp * num_heads * n * n * dh
     return pl.pallas_call(
         kernel,
-        grid=(bp // g,),
+        grid=(bp // g, num_heads // hb),
         in_specs=in_specs,
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((bp, num_heads, n, dh), q.dtype),

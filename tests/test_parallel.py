@@ -1,0 +1,171 @@
+"""Data-parallel mesh training and device-side sliding-window tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.models import (
+    ModelConfig, SwinUnetR, partition)
+from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+    make_dp_serving_step, make_dp_train_step, make_mesh,
+    make_sliding_window_fn, pad_starts, replicate, shard_batch,
+    window_starts)
+from medical_image_segmentation_with_visual_prompts_tpu.train.common import \
+    adamw
+
+TINY = dict(
+    training_mode="downstream", input_channels=1, depth_unet=2,
+    hidden_channels=(8, 16, 32), input_patch_size=(2, 2, 2),
+    num_heads_encoder=2, num_heads_decoder=2, attn_window_size=(4, 4, 2),
+    pos_bias_embed_dim=8, tokens_per_prompt_encoder=4,
+    tokens_per_prompt_decoder=4, use_encoder_prompting=True,
+    use_decoder_prompting=True, output_channels_downstream=2,
+    attn_impl="xla", attn_drop=0.0, proj_drop=0.0)
+
+
+def _model_and_vars(batch=1, size=(16, 16, 8)):
+    conf = ModelConfig(**TINY)
+    model = SwinUnetR(conf)
+    x = jnp.zeros((batch, *size, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True)
+    return conf, model, variables
+
+
+def test_dp_train_step_runs_on_8_device_mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    conf, model, variables = _model_and_vars()
+    mesh = make_mesh(8)
+    labels = partition.trainable_labels(conf)
+    trainable, frozen = partition.split_params(variables["params"], labels)
+    batch_stats = variables.get("batch_stats", {})
+    tx = adamw(1e-3, 0.0)
+    opt_state = tx.init(trainable)
+    step = make_dp_train_step(model, tx, frozen, mesh, active_labels=(0, 1))
+    trainable = replicate(mesh, trainable)
+    batch_stats = replicate(mesh, batch_stats)
+    opt_state = replicate(mesh, opt_state)
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, {
+        "image": jnp.asarray(rng.normal(size=(8, 16, 16, 8, 1)),
+                             jnp.float32),
+        "mask": jnp.asarray(rng.integers(0, 2, (8, 16, 16, 8, 1)),
+                            jnp.float32)})
+    rng_key = jax.device_put(
+        jax.random.PRNGKey(0),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    new_tr, new_bs, new_opt, loss = step(
+        trainable, batch_stats, opt_state, batch["image"], batch["mask"],
+        rng_key)
+    assert np.isfinite(float(loss))
+    # Parameters changed and stayed replicated.
+    delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(new_tr),
+        jax.tree_util.tree_leaves(trainable)))
+    assert delta > 0
+
+
+def test_dp_matches_single_device_gradients():
+    """DP mean loss/update over the mesh == single-device full batch."""
+    conf, model, variables = _model_and_vars()
+    labels = partition.trainable_labels(conf)
+    trainable, frozen = partition.split_params(variables["params"], labels)
+    batch_stats = variables.get("batch_stats", {})
+    tx = adamw(1e-3, 0.0)
+    opt_state = tx.init(trainable)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(8, 16, 16, 8, 1)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (8, 16, 16, 8, 1)), jnp.float32)
+    rng_key = jax.random.PRNGKey(0)
+
+    mesh = make_mesh(8)
+    step = make_dp_train_step(model, tx, frozen, mesh, active_labels=(0, 1))
+    sh = shard_batch(mesh, {"image": image, "mask": mask})
+    rk = jax.device_put(rng_key, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    tr_dp, _, _, loss_dp = step(replicate(mesh, trainable),
+                                replicate(mesh, batch_stats),
+                                replicate(mesh, opt_state),
+                                sh["image"], sh["mask"], rk)
+
+    mesh1 = make_mesh(1)
+    step1 = make_dp_train_step(model, tx, frozen, mesh1,
+                               active_labels=(0, 1))
+    sh1 = shard_batch(mesh1, {"image": image, "mask": mask})
+    rk1 = jax.device_put(rng_key, jax.sharding.NamedSharding(
+        mesh1, jax.sharding.PartitionSpec()))
+    tr_1, _, _, loss_1 = step1(replicate(mesh1, trainable),
+                               replicate(mesh1, batch_stats),
+                               replicate(mesh1, opt_state),
+                               sh1["image"], sh1["mask"], rk1)
+    assert abs(float(loss_dp) - float(loss_1)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(tr_dp),
+                    jax.tree_util.tree_leaves(tr_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dp_serving_step():
+    conf, model, variables = _model_and_vars()
+    mesh = make_mesh(8)
+    serve = make_dp_serving_step(model, variables, mesh)
+    windows = jnp.zeros((16, 16, 16, 8, 1))
+    sh = shard_batch(mesh, {"w": windows})
+    out = serve(sh["w"])
+    assert out.shape == (16, 16, 16, 8, 2)
+
+
+def test_window_starts_matches_reference_grid():
+    slices, starts = window_starts((24, 24, 12), (16, 16, 8))
+    # adjusted = (24-16)//8*8+16 = 24 -> no crop; starts 0, 8 per h/w axis;
+    # depth: (12-8)//4*4+8 = 12 -> starts 0, 4.
+    assert slices == (slice(0, 24), slice(0, 24), slice(0, 12))
+    assert starts.shape == (2 * 2 * 2, 3)
+    padded, n_valid = pad_starts(starts, 10)
+    assert n_valid == 8 and padded.shape[0] == 10
+
+
+def test_gaussian_sliding_window_constant_volume():
+    """A constant-output model stitches to that constant everywhere."""
+    num_classes = 3
+
+    def apply_fn(batch):
+        # logits favoring class 2 everywhere
+        base = jnp.zeros(batch.shape[:-1] + (num_classes,))
+        return base.at[..., 2].set(5.0)
+
+    roi = (8, 8, 4)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=4,
+                                 num_classes=num_classes, mode="gaussian")
+    vol_shape = (16, 16, 8)
+    slices, starts = window_starts(vol_shape, roi)
+    starts, n_valid = pad_starts(starts, 4)
+    vol = jnp.zeros((*vol_shape, 1))
+    probs = run(vol, jnp.asarray(starts), n_valid)
+    assert probs.shape == (*vol_shape, num_classes)
+    pred = np.asarray(jnp.argmax(probs, -1))
+    assert (pred == 2).all()
+
+
+def test_per_window_sliding_matches_direct_forward():
+    conf, model, variables = _model_and_vars(size=(16, 16, 8))
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, deterministic=True)["downstream"]
+
+    roi = (16, 16, 8)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=2, num_classes=2,
+                                 mode="per_window")
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(24, 24, 8, 1)), jnp.float32)
+    slices, starts = window_starts((24, 24, 8), roi)
+    vol_c = vol[slices[0], slices[1], slices[2]]
+    starts_p, n_valid = pad_starts(starts, 2)
+    preds = run(vol_c, jnp.asarray(starts_p), n_valid)
+    # Compare window 0 against a direct forward of the same window.
+    w0 = vol_c[None, :16, :16, :8]
+    direct = jnp.argmax(apply_fn(w0), -1)[0]
+    np.testing.assert_array_equal(np.asarray(preds[0]), np.asarray(direct))
