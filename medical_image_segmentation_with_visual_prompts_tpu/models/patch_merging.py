@@ -13,6 +13,8 @@ last (lane) axis, and the norm+reduction is a single fused LN+matmul on
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -23,6 +25,7 @@ class PatchMerging(nn.Module):
     in_channels: int
     out_channels: int
     merge_last_dim: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +57,7 @@ class PatchMerging(nn.Module):
                 x[:, 1::2, 1::2, :],
             ]
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.out_channels, use_bias=False, kernel_init=_xavier,
-                     name="reduction")(x)
+                     dtype=self.dtype, name="reduction")(x)
         return x

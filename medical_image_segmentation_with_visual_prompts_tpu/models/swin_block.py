@@ -23,7 +23,7 @@ reference's per-block ``torch.utils.checkpoint`` (:257-263).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -51,6 +51,7 @@ class SwinTransformerBlock(nn.Module):
     proj_drop: float = 0.0
     use_checkpoint: bool = False
     attn_impl: str = "auto"
+    dtype: Any = None
 
     def setup(self):
         self.pe = RelativePE(
@@ -62,16 +63,18 @@ class SwinTransformerBlock(nn.Module):
             tokens_per_prompt=self.tokens_per_prompt,
             use_token_params=self.use_token_params,
         )
-        self.attn_norm = nn.LayerNorm(epsilon=1e-6)
+        self.attn_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.attn = WindowAttention(
             dim=self.hidden_channels,
             num_heads=self.num_heads,
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
             attn_impl=self.attn_impl,
+            dtype=self.dtype,
         )
-        self.mlp_norm = nn.LayerNorm(epsilon=1e-6)
-        self.mlp = nn.Dense(self.hidden_channels, kernel_init=_xavier)
+        self.mlp_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.mlp = nn.Dense(self.hidden_channels, kernel_init=_xavier,
+                            dtype=self.dtype)
 
     def get_shift_size(self, shape_x: Sequence[int]) -> Tuple[int, ...]:
         """Zero the shift on axes not larger than the window (ref :265-270)."""
@@ -121,17 +124,30 @@ class SwinTransformerBlock(nn.Module):
             x_shifted = x
             attn_mask = None
 
-        x_win = window_partition(x_shifted, window_size)  # [B, P, N, C]
+        x_win = window_partition(x_shifted, window_size)  # [B, P, Nc, C]
+        n_content = x_win.shape[2]
         if p is not None:
-            p_b = jnp.broadcast_to(p[:, None], (b, x_win.shape[1], n_tokens, c))
-            x_win = jnp.concatenate([x_win, p_b], axis=2)
+            p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),
+                                   (b, x_win.shape[1], n_tokens, c))
+            kv = jnp.concatenate([x_win, p_b], axis=2)  # [B, P, Nc+I, C]
+        else:
+            kv = x_win
         shortcut = x_win
-        y = self.attn_norm(x_win)
-        y = self.attn(q=y, k=y, v=y, pos_bias=pos_bias, mask=attn_mask,
+        y = self.attn_norm(kv)
+        # Content-query attention: the reference computes attention for
+        # the prompt-token query rows too and then cuts them away
+        # (swin_block.py:215-225) — those rows are pure waste (and under
+        # the multiplicative mask they degrade to uniform attention).
+        # Restricting queries to the content rows gives bit-identical
+        # kept outputs, skips ~tokens/N of the attention work, and keeps
+        # the query tile count MXU-aligned.
+        q_in = y[:, :, :n_content] if p is not None else y
+        bias_rows = pos_bias[:, :, :, :n_content, :]
+        mask_rows = None if attn_mask is None \
+            else attn_mask[:, :, :, :n_content, :]
+        y = self.attn(q=q_in, k=y, v=y, pos_bias=bias_rows, mask=mask_rows,
                       deterministic=deterministic)
         x_win = y + shortcut
-        if p is not None:
-            x_win = x_win[:, :, :-n_tokens, :]
         x_win = x_win + self.mlp(self.mlp_norm(x_win))
         x_shifted = window_reverse(x_win, window_size, (hp, wp, dp))
         if shifted:
@@ -178,6 +194,7 @@ class ConsecutiveSwinBlocks(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     attn_impl: str = "auto"
+    dtype: Any = None
 
     def setup(self):
         shift = tuple(self.shift_size) if self.shift_size is not None else \
@@ -197,6 +214,7 @@ class ConsecutiveSwinBlocks(nn.Module):
                 proj_drop=self.proj_drop,
                 use_checkpoint=self.use_checkpoint,
                 attn_impl=self.attn_impl,
+                dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             ) for i in range(2)
         ]
@@ -207,6 +225,7 @@ class ConsecutiveSwinBlocks(nn.Module):
                 in_channels=self.hidden_channels,
                 out_channels=out_ch,
                 merge_last_dim=self.merge_last_dim,
+                dtype=self.dtype,
             )
 
     def __call__(self, x: jnp.ndarray, p=(None, None),

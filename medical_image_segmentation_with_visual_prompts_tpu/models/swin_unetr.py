@@ -87,6 +87,13 @@ class ModelConfig:
     output_channels_pretrain: int = 5
     output_channels_downstream: int = 2
     attn_impl: str = "auto"
+    compute_dtype: str = "float32"  # float32 | bfloat16 activations/matmuls
+
+    @property
+    def dtype(self):
+        import jax.numpy as _jnp
+        return _jnp.bfloat16 if self.compute_dtype == "bfloat16" \
+            else _jnp.float32
 
     @classmethod
     def from_namespace(cls, conf) -> "ModelConfig":
@@ -154,6 +161,7 @@ class SwinUnetR(nn.Module):
             kernel_size=tuple(conf.input_patch_size),
             strides=tuple(conf.input_patch_size),
             padding=(0, 0, 0),
+            dtype=conf.dtype,
             name="input_layer_conv")
         self.input_layer_norm = nn.BatchNorm(
             momentum=0.9, epsilon=1e-6, use_running_average=None,
@@ -177,6 +185,7 @@ class SwinUnetR(nn.Module):
                 proj_drop=conf.proj_drop,
                 use_checkpoint=conf.use_checkpoint,
                 attn_impl=conf.attn_impl,
+                dtype=conf.dtype,
                 name=f"encoder_blocks_{i}",
             ) for i in range(conf.depth_unet)
         ]
@@ -239,7 +248,8 @@ class SwinUnetR(nn.Module):
                 out_chs[0], kernel_size=3, res_block=conf.basic_block_res,
                 name="bottleneck")
         else:
-            self.bottleneck = Conv3d(out_chs[0], (3, 3, 3), name="bottleneck")
+            self.bottleneck = Conv3d(out_chs[0], (3, 3, 3), dtype=conf.dtype,
+                                     name="bottleneck")
 
         # Skip residual blocks (ref :267-313), depth+1 of them (last takes
         # the raw input).
@@ -254,9 +264,10 @@ class SwinUnetR(nn.Module):
                                  name=f"residual_blocks_{depth}")]
         elif conf.unetr_res_block == "simple":
             self.residual_blocks = [
-                Conv3d(in_chs[i], (3, 3, 3), name=f"residual_blocks_{i}")
+                Conv3d(in_chs[i], (3, 3, 3), dtype=conf.dtype,
+                       name=f"residual_blocks_{i}")
                 for i in range(depth)
-            ] + [Conv3d(in_chs[-1], (3, 3, 3),
+            ] + [Conv3d(in_chs[-1], (3, 3, 3), dtype=conf.dtype,
                         name=f"residual_blocks_{depth}")]
         else:
             self.residual_blocks = [None] * (depth + 1)  # identity
@@ -281,6 +292,7 @@ class SwinUnetR(nn.Module):
                     proj_drop=conf.proj_drop,
                     use_checkpoint=conf.use_checkpoint,
                     attn_impl=conf.attn_impl,
+                    dtype=conf.dtype,
                     name=f"decoder_blocks_{i}",
                 ) for i in range(depth)
             ]
@@ -312,6 +324,7 @@ class SwinUnetR(nn.Module):
                 proj_drop=conf.proj_drop,
                 use_checkpoint=conf.use_checkpoint,
                 attn_impl=conf.attn_impl,
+                dtype=conf.dtype,
                 name="output_layer",
             )
         else:
@@ -325,8 +338,11 @@ class SwinUnetR(nn.Module):
         """Ref :46-63: returns feature list deepest-first, raw input last."""
         conf = self.conf
         out_list = [x]
-        enc = self.input_layer_conv(x)
-        enc = self.input_layer_norm(enc, use_running_average=deterministic)
+        enc = self.input_layer_conv(x.astype(conf.dtype))
+        # BatchNorm statistics stay fp32; trunk activations in the
+        # compute dtype.
+        enc = self.input_layer_norm(
+            enc, use_running_average=deterministic).astype(conf.dtype)
         out_list.insert(0, enc)
         for j in range(conf.depth_unet):
             if not conf.use_encoder_prompting:
@@ -351,8 +367,9 @@ class SwinUnetR(nn.Module):
         out_vit = self.forward_swin_transformer(x, deterministic)["out_vit"]
         if conf.training_mode == "self_supervised_learning_encoder":
             if conf.use_reconstruction or conf.use_mutual_learning:
-                output["reconstruction"] = self.head_reconstruction(out_vit[0])
-            pooled = jnp.mean(out_vit[0], axis=(1, 2, 3))
+                output["reconstruction"] = self.head_reconstruction(
+                    out_vit[0]).astype(jnp.float32)
+            pooled = jnp.mean(out_vit[0].astype(jnp.float32), axis=(1, 2, 3))
             if conf.use_rotation_prediction:
                 output["rotation_prediction"] = self.head_rotation(pooled)
             if conf.use_contrastive_learning:
@@ -382,6 +399,7 @@ class SwinUnetR(nn.Module):
                                          deterministic=deterministic)
         if conf.unetr_res_block == "none":
             out = upsample_trilinear(dec, (2, 2, 2), align_corners=False)
+            out = out.astype(jnp.float32)
         else:
             if not conf.use_decoder_prompting:
                 p_w, p_sw = None, None
@@ -394,6 +412,7 @@ class SwinUnetR(nn.Module):
                 else self.residual_blocks[-1](c[-1])
             out = self.output_layer(dec, res_last, [p_w, p_sw],
                                     deterministic=deterministic)
+            out = out.astype(jnp.float32)
         return {"latent_outputs": out}
 
     def forward_ssl_decoder(self, x: jnp.ndarray, deterministic: bool = True):
@@ -410,7 +429,7 @@ class SwinUnetR(nn.Module):
         out_dec = self.forward_ssl_decoder(x, deterministic)
         seg = self.head_downstream(out_dec["latent_outputs"],
                                    deterministic=deterministic)
-        return {"downstream": seg}
+        return {"downstream": seg.astype(jnp.float32)}
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         """Mode dispatch (ref :129-144). x: [B, H, W, D, C] channels-last."""

@@ -16,7 +16,7 @@ HWDIO) — XLA's native TPU conv layout.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ class Conv3d(nn.Module):
     strides: Sequence[int] = (1, 1, 1)
     padding: Optional[Sequence[int]] = None  # per-axis symmetric; None = k//2
     use_bias: bool = True
+    dtype: Any = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,7 +45,7 @@ class Conv3d(nn.Module):
         return nn.Conv(self.features, kernel_size=k,
                        strides=tuple(self.strides),
                        padding=[(p, p) for p in pad],
-                       use_bias=self.use_bias)(x)
+                       use_bias=self.use_bias, dtype=self.dtype)(x)
 
 
 class ConvTranspose3d(nn.Module):
@@ -154,6 +155,7 @@ class SwinUpBlock(nn.Module):
     use_checkpoint: bool = False
     hidden_channels: Optional[int] = None
     attn_impl: str = "auto"
+    dtype: Any = None
 
     def setup(self):
         hidden = (self.in_channels + self.in_channels // 2
@@ -162,7 +164,8 @@ class SwinUpBlock(nn.Module):
         self.norm_concat = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                                         use_running_average=None)
         self.conv_concat = Conv3d(self.out_channels,
-                                  kernel_size=tuple(self.kernel_size))
+                                  kernel_size=tuple(self.kernel_size),
+                                  dtype=self.dtype)
         self.swin_layer = ConsecutiveSwinBlocks(
             hidden_channels=self.out_channels,
             pos_bias_embed_dim=self.pos_bias_embed_dim,
@@ -176,6 +179,7 @@ class SwinUpBlock(nn.Module):
             proj_drop=self.proj_drop,
             use_checkpoint=self.use_checkpoint,
             attn_impl=self.attn_impl,
+            dtype=self.dtype,
         )
 
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray, p=(None, None),

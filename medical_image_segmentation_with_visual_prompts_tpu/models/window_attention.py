@@ -19,7 +19,7 @@ Two execution paths share the projections:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -46,6 +46,7 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     attn_impl: str = "auto"  # auto | xla | pallas
+    dtype: Any = None  # compute dtype (matmuls); softmax stays fp32
 
     @nn.compact
     def __call__(self,
@@ -55,7 +56,9 @@ class WindowAttention(nn.Module):
                  pos_bias: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        """q/k/v: [B, P, N, C]; pos_bias: [1, 1, H, N, N]; mask: [1, P, 1, N, N]."""
+        """q: [B, P, M, C]; k/v: [B, P, N, C] (M == N or M < N for
+        content-query attention); pos_bias: [1, 1, H, M, N];
+        mask: [1, P, 1, M, N]."""
         if self.dim % self.num_heads != 0:
             raise ValueError(
                 "WindowAttention: The dimension is not compatible "
@@ -63,20 +66,42 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
-        q = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_q")(q)
-        k = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_k")(k)
-        v = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier, name="to_v")(v)
+        q = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
+                     dtype=self.dtype, name="to_q")(q)
+        k = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
+                     dtype=self.dtype, name="to_k")(k)
+        v = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
+                     dtype=self.dtype, name="to_v")(v)
 
-        b, p, n, _ = q.shape
-        split = lambda t: t.reshape(b, p, n, self.num_heads, head_dim)
-        qh, kh, vh = split(q), split(k), split(v)  # [B, P, N, H, Dh]
+        b, p, m, _ = q.shape
+        n = k.shape[2]
+
+        if _use_pallas(self.attn_impl, deterministic, self.attn_drop) \
+                and self.dim <= 128:
+            # Packed kernel: block-diagonal head packing, no head split.
+            from ..ops.window_attention_pallas import \
+                fused_window_attention_packed
+            out = fused_window_attention_packed(
+                q, k, v, pos_bias=pos_bias, mask=mask, scale=scale,
+                num_heads=self.num_heads)
+            out = nn.Dense(self.dim, kernel_init=_xavier, dtype=self.dtype,
+                           name="proj")(out)
+            out = nn.Dropout(self.proj_drop, name="proj_dropout")(
+                out, deterministic=deterministic)
+            return out
+
+        split = lambda t: t.reshape(b, p, t.shape[2], self.num_heads,
+                                    head_dim)
+        qh, kh, vh = split(q), split(k), split(v)  # [B, P, M|N, H, Dh]
 
         if _use_pallas(self.attn_impl, deterministic, self.attn_drop):
             from ..ops.window_attention_pallas import fused_window_attention
             out = fused_window_attention(
                 qh, kh, vh, pos_bias=pos_bias, mask=mask, scale=scale)
         else:
-            attn = jnp.einsum("bpihd,bpjhd->bphij", qh, kh) * scale
+            # Scores/softmax in fp32 regardless of the compute dtype.
+            attn = jnp.einsum("bpihd,bpjhd->bphij", qh, kh,
+                              preferred_element_type=jnp.float32) * scale
             if pos_bias is not None:
                 attn = attn + pos_bias
             if mask is not None:
@@ -84,9 +109,11 @@ class WindowAttention(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, name="attn_dropout")(
                 attn, deterministic=deterministic)
-            out = jnp.einsum("bphij,bpjhd->bpihd", attn, vh)
-        out = out.reshape(b, p, n, self.dim)
-        out = nn.Dense(self.dim, kernel_init=_xavier, name="proj")(out)
+            out = jnp.einsum("bphij,bpjhd->bpihd",
+                             attn.astype(vh.dtype), vh)
+        out = out.reshape(b, p, m, self.dim)
+        out = nn.Dense(self.dim, kernel_init=_xavier, dtype=self.dtype,
+                       name="proj")(out)
         out = nn.Dropout(self.proj_drop, name="proj_dropout")(
             out, deterministic=deterministic)
         return out

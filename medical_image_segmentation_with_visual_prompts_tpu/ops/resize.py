@@ -52,12 +52,14 @@ def resize_trilinear(x: jnp.ndarray, out_size: Sequence[int],
     """Resize channels-last ``[B, H, W, D, C]`` to ``[B, *out_size, C]``."""
     b, h, w, d, c = x.shape
     oh, ow, od = out_size
+    mat = lambda i, o: jnp.asarray(interp_matrix(i, o, align_corners),
+                                   dtype=x.dtype)
     if h != oh:
-        x = jnp.einsum("oh,bhwdc->bowdc", jnp.asarray(interp_matrix(h, oh, align_corners)), x)
+        x = jnp.einsum("oh,bhwdc->bowdc", mat(h, oh), x)
     if w != ow:
-        x = jnp.einsum("ow,bhwdc->bhodc", jnp.asarray(interp_matrix(w, ow, align_corners)), x)
+        x = jnp.einsum("ow,bhwdc->bhodc", mat(w, ow), x)
     if d != od:
-        x = jnp.einsum("od,bhwdc->bhwoc", jnp.asarray(interp_matrix(d, od, align_corners)), x)
+        x = jnp.einsum("od,bhwdc->bhwoc", mat(d, od), x)
     return x
 
 

@@ -45,33 +45,36 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     (group·heads); bias add, masking and softmax stay fp32 in VMEM.
     """
     g, h = group, num_heads
-    n, dh = q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[:].astype(jnp.bfloat16).reshape(g * h, n, dh)
+    m, dh = q_ref.shape[2], q_ref.shape[3]
+    n = k_ref.shape[2]
+    q = q_ref[:].astype(jnp.bfloat16).reshape(g * h, m, dh)
     k = k_ref[:].astype(jnp.bfloat16).reshape(g * h, n, dh)
     v = v_ref[:].astype(jnp.bfloat16).reshape(g * h, n, dh)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(g, h, n, n) * scale
+        preferred_element_type=jnp.float32).reshape(g, h, m, n) * scale
     s = s + bias_ref[:].astype(jnp.float32)[None]
     if with_mask:
         s = s * mask_ref[:].astype(jnp.float32)[:, None]
-    probs = jax.nn.softmax(s, axis=-1).reshape(g * h, n, n)
+    probs = jax.nn.softmax(s, axis=-1).reshape(g * h, m, n)
     o = jax.lax.dot_general(
         probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    o_ref[:] = o.reshape(g, h, n, dh).astype(o_ref.dtype)
+    o_ref[:] = o.reshape(g, h, m, dh).astype(o_ref.dtype)
 
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # conservative half of ~16 MB VMEM
+# Conservative: Mosaic stack-allocates softmax temporaries beyond the
+# explicit buffers, so size for ~16 MB VMEM with ~2.5x headroom.
+_VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def _pick_blocks(bp: int, p, num_heads: int, n: int):
+def _pick_blocks(bp: int, p, num_heads: int, m: int, n: int):
     """(window group g, head block hb) keeping scores+probs+bias in budget.
 
-    Per-program VMEM ≈ 2·g·hb·n²·4 (fp32 scores + softmax temp)
-    + hb·n²·4 (bias block); qkv blocks are comparatively tiny.
+    Per-program VMEM ≈ 2·g·hb·m·n·4 (fp32 scores + softmax temp)
+    + hb·m·n·4 (bias block); qkv blocks are comparatively tiny.
     """
-    per_head = n * n * 4
+    per_head = m * n * 4
     hb = num_heads
     while hb > 1 and (3 * hb * per_head > _VMEM_BUDGET or num_heads % hb):
         hb -= 1
@@ -83,22 +86,26 @@ def _pick_blocks(bp: int, p, num_heads: int, n: int):
 
 
 def _forward_pallas(q, k, v, bias, mask, scale, interpret=False):
-    """q/k/v: [BP, H, N, Dh]; bias: [H, N, N]; mask: [P, N, N] or None."""
-    bp, num_heads, n, dh = q.shape
+    """q: [BP, H, M, Dh]; k/v: [BP, H, N, Dh]; bias: [H, M, N];
+    mask: [P, M, N] or None."""
+    bp, num_heads, m, dh = q.shape
+    n = k.shape[2]
     p = mask.shape[0] if mask is not None else None
-    g, hb = _pick_blocks(bp, p, num_heads, n)
+    g, hb = _pick_blocks(bp, p, num_heads, m, n)
     kernel = functools.partial(
         _attention_kernel, scale=scale, num_heads=hb, group=g,
         with_mask=mask is not None)
-    qkv_spec = pl.BlockSpec((g, hb, n, dh), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((hb, n, n), lambda i, j: (j, 0, 0),
+    q_spec = pl.BlockSpec((g, hb, m, dh), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((g, hb, n, dh), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((hb, m, n), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
+    in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
     args = [q, k, v, bias]
     if mask is not None:
         pg = p // g
-        in_specs.append(pl.BlockSpec((g, n, n), lambda i, j: (i % pg, 0, 0),
+        in_specs.append(pl.BlockSpec((g, m, n), lambda i, j: (i % pg, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
     else:
@@ -106,23 +113,127 @@ def _forward_pallas(q, k, v, bias, mask, scale, interpret=False):
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.zeros((1, 1, 1), q.dtype))
-    flops = 4 * bp * num_heads * n * n * dh
+    flops = 4 * bp * num_heads * m * n * dh
     return pl.pallas_call(
         kernel,
         grid=(bp // g, num_heads // hb),
         in_specs=in_specs,
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((bp, num_heads, n, dh), q.dtype),
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, num_heads, m, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(3 * q.size + q.size) * q.dtype.itemsize,
-            transcendentals=bp * num_heads * n * n),
+            bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
+            transcendentals=bp * num_heads * m * n),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------- packed
+# For C = num_heads * head_dim <= 128 (one MXU k-tile), per-head matmuls
+# waste 128/head_dim of the systolic array's contraction dim (head_dim is
+# 12-24 here).  The packed kernel instead builds a block-diagonal query
+# Q' [(h·m), C] (row block h carries only head h's feature columns) so
+#   Q' @ K^T  ->  [(h·m), n]  ==  per-head scores stacked on rows,
+# one dense MXU matmul at full k-width.  The value aggregation runs as
+# P [(h·m), n] @ V [n, C] followed by a per-head column extraction.
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, colmask_ref,
+                   o_ref, *, scale: float, num_heads: int, group: int,
+                   with_mask: bool):
+    """3D-only ops (Mosaic-friendly): the per-head structure is expressed
+    with static slices/concats along the sublane axis, never 4D
+    broadcasts.  bias_ref is pre-packed host-side as [(h·m), n]."""
+    g, h = group, num_heads
+    m, c = q_ref.shape[1], q_ref.shape[2]
+    n = k_ref.shape[1]
+    q = q_ref[:].astype(jnp.bfloat16)            # [g, m, C]
+    colmask = colmask_ref[:].astype(jnp.bfloat16)  # [h, C]
+    # Block-diagonal queries: concat per-head masked copies -> [g, h*m, C].
+    qp = jnp.concatenate([q * colmask[hh][None, None, :]
+                          for hh in range(h)], axis=1)
+    k = k_ref[:].astype(jnp.bfloat16)            # [g, n, C]
+    v = v_ref[:].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        qp, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [g, h*m, n]
+    s = s + bias_ref[:].astype(jnp.float32)[None]    # [(h m), n] broadcast
+    if with_mask:
+        mask = mask_ref[:].astype(jnp.float32)       # [g, m, n]
+        s = s * jnp.concatenate([mask] * h, axis=1)
+    p = jax.nn.softmax(s, axis=-1)
+    o_full = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)      # [g, h*m, C]
+    colmask32 = colmask_ref[:].astype(jnp.float32)
+    o = o_full[:, 0:m, :] * colmask32[0][None, None, :]
+    for hh in range(1, h):
+        o = o + o_full[:, hh * m:(hh + 1) * m, :] \
+            * colmask32[hh][None, None, :]
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _pick_group_packed(bp: int, p, num_heads: int, m: int, n: int) -> int:
+    per_g = 2 * num_heads * m * n * 4  # fp32 scores + softmax temp
+    g = max(int(_VMEM_BUDGET // max(per_g, 1)), 1)
+    g = min(g, 8)
+    while g > 1 and (bp % g or (p is not None and p % g)):
+        g -= 1
+    return g
+
+
+def _forward_packed(q, k, v, bias, mask, scale, num_heads, interpret=False):
+    """q: [BP, M, C]; k/v: [BP, N, C]; bias: [H, M, N]; mask [P, M, N]."""
+    import numpy as np
+    bp, m, c = q.shape
+    n = k.shape[1]
+    dh = c // num_heads
+    p = mask.shape[0] if mask is not None else None
+    g = _pick_group_packed(bp, p, num_heads, m, n)
+    colmask_np = np.zeros((num_heads, c), np.float32)
+    for hh in range(num_heads):
+        colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    kernel = functools.partial(
+        _packed_kernel, scale=scale, num_heads=num_heads, group=g,
+        with_mask=mask is not None)
+    q_spec = pl.BlockSpec((g, m, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads * m, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    colmask_spec = pl.BlockSpec((num_heads, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+    args = [q, k, v, bias.reshape(num_heads * m, n)]
+    if mask is not None:
+        pg = p // g
+        in_specs.append(pl.BlockSpec((g, m, n), lambda i: (i % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1), q.dtype))
+    in_specs.append(colmask_spec)
+    args.append(jnp.asarray(colmask_np))
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, m, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * num_heads * m * n * dh,
+            bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
+            transcendentals=bp * num_heads * m * n),
         interpret=interpret,
     )(*args)
 
 
 def _scores(q, k, bias, mask, scale):
-    s = jnp.einsum("xhnd,xhmd->xhnm", q.astype(jnp.float32),
+    """q: [BP,H,M,Dh]; k: [BP,H,N,Dh] -> [BP,H,M,N]."""
+    s = jnp.einsum("xhmd,xhnd->xhmn", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     s = s + bias[None].astype(jnp.float32)
     if mask is not None:
@@ -149,19 +260,19 @@ def _fused_fwd(q, k, v, bias, scale, interpret, mask):
 def _fused_bwd(scale, interpret, res, g):
     q, k, v, bias, mask = res
     qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
-    s = _scores(qf, kf, bias, mask, scale)
+    s = _scores(qf, kf, bias, mask, scale)  # [BP, H, M, N]
     p = jax.nn.softmax(s, axis=-1)
     g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("xhnm,xhnd->xhmd", p, g32)
-    dp = jnp.einsum("xhnd,xhmd->xhnm", g32, vf)
+    dv = jnp.einsum("xhmn,xhmd->xhnd", p, g32)
+    dp = jnp.einsum("xhmd,xhnd->xhmn", g32, vf)
     dm = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     if mask is not None:
         bp = q.shape[0]
         pwin = mask.shape[0]
         b = bp // pwin
         dm = dm * jnp.tile(mask, (b, 1, 1))[:, None]
-    dq = jnp.einsum("xhnm,xhmd->xhnd", dm, kf) * scale
-    dk = jnp.einsum("xhnm,xhnd->xhmd", dm, qf) * scale
+    dq = jnp.einsum("xhmn,xhnd->xhmd", dm, kf) * scale
+    dk = jnp.einsum("xhmn,xhmd->xhnd", dm, qf) * scale
     dbias = jnp.sum(dm, axis=0)  # bias broadcast over BP
     # The mask is a compile-time 0/1 constant; its cotangent is never
     # used but custom_vjp requires a structural match.
@@ -173,6 +284,60 @@ def _fused_bwd(scale, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_packed(q, k, v, bias, scale, num_heads, interpret, mask):
+    return _forward_packed(q, k, v, bias, mask, scale, num_heads, interpret)
+
+
+def _fused_packed_fwd(q, k, v, bias, scale, num_heads, interpret, mask):
+    out = _fused_packed(q, k, v, bias, scale, num_heads, interpret, mask)
+    return out, (q, k, v, bias, mask)
+
+
+def _fused_packed_bwd(scale, num_heads, interpret, res, g):
+    q, k, v, bias, mask = res
+    bp, m, c = q.shape
+    n = k.shape[1]
+    dh = c // num_heads
+    split = lambda t: t.reshape(bp, t.shape[1], num_heads, dh).transpose(
+        0, 2, 1, 3)
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(bp, t.shape[2], c)
+    dq, dk, dv, dbias, dmask = _fused_bwd(
+        scale, interpret, (split(q), split(k), split(v), bias, mask),
+        split(g))
+    return merge(dq), merge(dk), merge(dv), dbias, dmask
+
+
+_fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
+def fused_window_attention_packed(q: jnp.ndarray, k: jnp.ndarray,
+                                  v: jnp.ndarray,
+                                  pos_bias: Optional[jnp.ndarray],
+                                  mask: Optional[jnp.ndarray],
+                                  scale: float, num_heads: int,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Packed (block-diagonal head) fused attention for C <= 128.
+
+    Args:
+      q: ``[B, P, M, C]`` (heads NOT split); k/v: ``[B, P, N, C]``.
+      pos_bias: ``[1, 1, H, M, N]`` or None; mask: ``[1, P, 1, M, N]``.
+
+    Returns: ``[B, P, M, C]``.
+    """
+    b, p, m_len, c = q.shape
+    n = k.shape[2]
+    fold = lambda t: t.reshape(b * p, t.shape[2], c)
+    if pos_bias is None:
+        bias = jnp.zeros((num_heads, m_len, n), q.dtype)
+    else:
+        bias = pos_bias.reshape(num_heads, m_len, n)
+    msk = None if mask is None else mask.reshape(p, m_len, n)
+    out = _fused_packed(fold(q), fold(k), fold(v), bias, scale, num_heads,
+                        interpret, msk)
+    return out.reshape(b, p, m_len, c)
+
+
 def fused_window_attention(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
                            pos_bias: Optional[jnp.ndarray],
                            mask: Optional[jnp.ndarray],
@@ -181,20 +346,23 @@ def fused_window_attention(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
     """Fused attention over head-split windows.
 
     Args:
-      qh/kh/vh: ``[B, P, N, H, Dh]``.
-      pos_bias: ``[1, 1, H, N, N]`` or None.
-      mask: ``[1, P, 1, N, N]`` 0/1 multiplicative mask or None.
+      qh: ``[B, P, M, H, Dh]`` (M may be < N: content-query attention).
+      kh/vh: ``[B, P, N, H, Dh]``.
+      pos_bias: ``[1, 1, H, M, N]`` or None.
+      mask: ``[1, P, 1, M, N]`` 0/1 multiplicative mask or None.
       scale: softmax scale (``Dh**-0.5``).
 
-    Returns: ``[B, P, N, H, Dh]``.
+    Returns: ``[B, P, M, H, Dh]``.
     """
-    b, p, n, h, dh = qh.shape
-    to_bp = lambda t: t.transpose(0, 1, 3, 2, 4).reshape(b * p, h, n, dh)
+    b, p, m_len, h, dh = qh.shape
+    n = kh.shape[2]
+    to_bp = lambda t: t.transpose(0, 1, 3, 2, 4).reshape(
+        b * p, h, t.shape[2], dh)
     q, k, v = to_bp(qh), to_bp(kh), to_bp(vh)
     if pos_bias is None:
-        bias = jnp.zeros((h, n, n), q.dtype)
+        bias = jnp.zeros((h, m_len, n), q.dtype)
     else:
-        bias = pos_bias.reshape(h, n, n)
-    m = None if mask is None else mask.reshape(p, n, n)
+        bias = pos_bias.reshape(h, m_len, n)
+    m = None if mask is None else mask.reshape(p, m_len, n)
     out = _fused(q, k, v, bias, scale, interpret, m)
-    return out.reshape(b, p, h, n, dh).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, p, h, m_len, dh).transpose(0, 1, 3, 2, 4)

@@ -16,6 +16,7 @@ Trainer design (TPU-first, vs the reference's imperative torch loops):
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Dict, Iterable, Mapping, Set, Tuple
 
 import jax
@@ -73,6 +74,51 @@ def to_device(batch: Dict, exclude: Tuple[str, ...] = ("name",)) -> Dict:
 
 def scalar(x) -> float:
     return float(jax.device_get(x))
+
+
+class StepProfiler:
+    """Per-step timing + optional jax.profiler trace capture.
+
+    New observability capability (the reference only logs losses,
+    SURVEY.md §5): wall-clock per train step is tracked and logged, and
+    when ``profile_dir`` is configured a device trace is captured for a
+    few steps of the first epoch (viewable with any XPlane/TensorBoard
+    profile reader).
+    """
+
+    def __init__(self, logger, profile_dir=None, trace_steps=(2, 6)):
+        self.logger = logger
+        self.profile_dir = profile_dir
+        self.trace_start, self.trace_stop = trace_steps
+        self._tracing = False
+        self._t_last = None
+        self.durations: list = []
+
+    def step_begin(self, global_step: int) -> None:
+        if (self.profile_dir and not self._tracing
+                and global_step == self.trace_start):
+            jax.profiler.start_trace(str(self.profile_dir))
+            self._tracing = True
+        self._t_last = time.perf_counter()
+
+    def step_end(self, global_step: int) -> None:
+        if self._t_last is not None:
+            self.durations.append(time.perf_counter() - self._t_last)
+        if self._tracing and global_step >= self.trace_stop:
+            jax.profiler.stop_trace()
+            self._tracing = False
+            self.logger.info(f"Profiler trace written to {self.profile_dir}.")
+
+    def mean_ms(self, last: int = 50) -> float:
+        if not self.durations:
+            return 0.0
+        window = self.durations[-last:]
+        return 1e3 * sum(window) / len(window)
+
+    def close(self) -> None:
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
 
 
 class AvgLosses:

@@ -33,8 +33,8 @@ from ..ops.augment import permute_inverse, random_mask, random_permute, \
     random_rotate
 from ..utils import load_checkpoint, restore_like, save_checkpoint, \
     warmup_cosine
-from .common import AvgLosses, adamw, count_params, make_grouped_optimizer, \
-    to_device
+from .common import AvgLosses, StepProfiler, adamw, count_params, \
+    make_grouped_optimizer, to_device
 
 
 class MultiViewTrainer:
@@ -218,16 +218,22 @@ class MultiViewTrainer:
         self.logger.info(f"Scalar summaries: {conf.summary_dir}")
         self.logger.info(f"Using device: {jax.devices()[0]}.")
         self.logger.info(f"Start training from epoch {start_epoch:04d}.")
+        profiler = StepProfiler(self.logger,
+                                getattr(conf, "profile_dir", None))
+        global_step = 0
 
         for epoch in range(start_epoch, conf.max_epochs_multi_view + 1):
             for step, batch in enumerate(self.train_loader):
                 batch = to_device(batch)
                 self.rng, k = jax.random.split(self.rng)
+                profiler.step_begin(global_step)
                 trainable, batch_stats, opt_state, parts = pick_train()(
                     trainable, batch_stats, opt_state, batch["image"], k)
                 for name in self.loss_names:
                     if name in parts:
                         avg.append(name, parts[name])
+                profiler.step_end(global_step)
+                global_step += 1
                 step_count += 1
                 if step % 5 == 0:
                     self.logger.info(
@@ -241,6 +247,10 @@ class MultiViewTrainer:
                             self.logger.info(
                                 f"{label} training loss in step {step} epoch "
                                 f"{epoch}: {avg.last(name):.5f}.")
+            self.logger.info(
+                f"Mean train step time epoch {epoch}: "
+                f"{profiler.mean_ms():.1f} ms.")
+            self.writer.add_scalar("perf/step_ms", profiler.mean_ms(), epoch)
             for name, val in avg.mean_and_clear().items():
                 self.writer.add_scalar(f"train_loss/{name}", val, epoch)
             if getattr(conf, "save_ckpt_backbone", False) \
@@ -266,6 +276,7 @@ class MultiViewTrainer:
                         f"Best {name}_loss_val improved in epoch {epoch}.")
                 self.writer.add_scalar(f"val_loss/{name}", val, epoch)
 
+        profiler.close()
         self.final_state = {
             "params": partition.merge_params(trainable, frozen),
             "batch_stats": batch_stats,

@@ -44,7 +44,8 @@ from ..ops.augment import map_label_indices
 from ..utils import (DiceCoefficient, MeanIoU, load_checkpoint, merge_state,
                      restore_like, save_checkpoint, step_decay)
 from ..utils.metrics import seg_stats
-from .common import AvgLosses, adamw, count_params, scalar, to_device
+from .common import AvgLosses, StepProfiler, adamw, count_params, \
+    scalar, to_device
 
 _TEST_CHUNK = 10  # hardcoded window batch size (reference :255)
 
@@ -168,6 +169,9 @@ class SegmentationTrainer:
         self.logger.info(f"Scalar summaries: {conf.summary_dir}")
         self.logger.info(f"Using device: {jax.devices()[0]}.")
         self.logger.info(f"Start training from epoch {start_epoch:04d}.")
+        profiler = StepProfiler(self.logger,
+                                getattr(conf, "profile_dir", None))
+        global_step = 0
 
         for epoch in range(start_epoch, conf.max_epochs_downstream + 1):
             lr = schedule(epoch)
@@ -175,11 +179,14 @@ class SegmentationTrainer:
             for step, batch in enumerate(self.train_loader):
                 batch = to_device(batch)
                 self.rng, k = jax.random.split(self.rng)
+                profiler.step_begin(global_step)
                 (trainable, batch_stats, opt_state, loss, stats,
                  view_data) = train_step(
                     trainable, batch_stats, opt_state,
                     batch["image"], batch["mask"], k)
-                avg.append("seg", loss)
+                avg.append("seg", loss)  # blocks on the step result
+                profiler.step_end(global_step)
+                global_step += 1
                 avg.append("tot", loss)
                 metrics.update_stats(*map(np.asarray, stats))
                 if conf.view and step % 5 == 0 and view_data is not None:
@@ -198,6 +205,10 @@ class SegmentationTrainer:
                     self.logger.info(
                         f"Segmentation training score in step {step} epoch "
                         f"{epoch}: {metrics.compute():.5f}.")
+            self.logger.info(
+                f"Mean train step time epoch {epoch}: "
+                f"{profiler.mean_ms():.1f} ms.")
+            self.writer.add_scalar("perf/step_ms", profiler.mean_ms(), epoch)
             for name, val in avg.mean_and_clear().items():
                 self.writer.add_scalar(f"train_loss/{name}", val, epoch)
             self.writer.add_scalar("train_metric/seg", metrics.compute(),
@@ -239,6 +250,7 @@ class SegmentationTrainer:
             self.writer.add_scalar("val_metric/seg", metrics.compute(), epoch)
             metrics.reset()
 
+        profiler.close()
         # Keep final state accessible (also used by tests).
         self.final_state = {
             "params": partition.merge_params(trainable, frozen),

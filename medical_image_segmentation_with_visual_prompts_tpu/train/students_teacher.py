@@ -39,8 +39,8 @@ from ..ops.augment import map_label_indices
 from ..utils import MeanIoU, load_checkpoint, restore_like, save_checkpoint, \
     warmup_cosine
 from ..utils.metrics import seg_stats
-from .common import AvgLosses, adamw, count_params, ema_update, \
-    make_grouped_optimizer, to_device
+from .common import AvgLosses, StepProfiler, adamw, count_params, \
+    ema_update, make_grouped_optimizer, to_device
 
 _SUPERVISED = ("supervised_learning_decoder", "supervised_learning_all")
 _ALL_MODES = ("self_supervised_learning_all", "supervised_learning_all")
@@ -243,6 +243,9 @@ class StudentsTeacherTrainer:
         self.logger.info(f"Scalar summaries: {conf.summary_dir}")
         self.logger.info(f"Using device: {jax.devices()[0]}.")
         self.logger.info(f"Start training from epoch {start_epoch:04d}.")
+        profiler = StepProfiler(self.logger,
+                                getattr(conf, "profile_dir", None))
+        global_step = 0
 
         batch_keys = ["image", "coord"] + \
             [f"image_st_{i}" for i in range(self.n_students)] + \
@@ -256,6 +259,7 @@ class StudentsTeacherTrainer:
                 batch = to_device(batch)
                 dev_batch = {k: batch[k] for k in batch_keys}
                 self.rng, k = jax.random.split(self.rng)
+                profiler.step_begin(global_step)
                 (trainable, student_bs, teacher_params, teacher_bs,
                  opt_state, parts, stats) = train_step(
                     trainable, student_bs, teacher_params, teacher_bs,
@@ -263,6 +267,8 @@ class StudentsTeacherTrainer:
                 for name in self.loss_names:
                     if name in parts:
                         avg.append(name, parts[name])
+                profiler.step_end(global_step)
+                global_step += 1
                 if metrics is not None and stats is not None:
                     metrics.update_stats(*map(np.asarray, stats))
                 step_count += 1
@@ -278,6 +284,10 @@ class StudentsTeacherTrainer:
                         self.logger.info(
                             f"Segmentation training loss in step {step} "
                             f"epoch {epoch}: {avg.last('seg'):.4f}.")
+            self.logger.info(
+                f"Mean train step time epoch {epoch}: "
+                f"{profiler.mean_ms():.1f} ms.")
+            self.writer.add_scalar("perf/step_ms", profiler.mean_ms(), epoch)
             for name, val in avg.mean_and_clear().items():
                 self.writer.add_scalar(f"train_loss/{name}", val, epoch)
             if metrics is not None:
@@ -317,6 +327,7 @@ class StudentsTeacherTrainer:
                                        epoch)
                 metrics.reset()
 
+        profiler.close()
         self.final_state = {
             "params": partition.merge_params(trainable, frozen),
             "batch_stats": student_bs,

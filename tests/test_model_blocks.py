@@ -1,5 +1,6 @@
 """Unit tests for RelativePE, WindowAttention, Swin blocks, PatchMerging."""
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,3 +162,52 @@ def test_remat_matches_plain():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6), g1, g2)
+
+
+def test_content_query_attention_equals_full_then_cut():
+    # The block computes attention only for content-query rows; this must
+    # equal the reference formulation (full-sequence attention, prompt
+    # rows cut afterwards, swin_block.py:215-225).
+    blk = SwinTransformerBlock(
+        hidden_channels=8, window_size=(4, 4, 2), pos_bias_embed_dim=8,
+        num_heads=2, max_prompts=1, tokens_per_prompt=3,
+        use_token_params=True, shift_size=(2, 2, 1), attn_impl="xla")
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 8, 8, 4, 8))
+    p = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 8))
+    params = blk.init(rng, x, p)
+
+    got = blk.apply(params, x, p)
+
+    # Reference formulation re-done manually through the same submodules.
+    import numpy as np
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows import (
+        compute_paddings, get_attn_mask, window_partition, window_reverse)
+
+    def ref_apply(mdl):
+        b, h, w, d, c = x.shape
+        win = (4, 4, 2)
+        shift = mdl.get_shift_size((h, w, d))
+        pos_bias = mdl.pe(4, 4, 2, 3)[:, None]
+        x_sh = jnp.roll(x, shift=(-2, -2, -1), axis=(1, 2, 3))
+        am = get_attn_mask((8, 8, 4), win, shift, (0,) * 6)
+        nwin = am.shape[1]
+        total = np.zeros((am.shape[0], nwin + 3, nwin + 3), np.float32)
+        total[:, :nwin, :nwin] = am
+        total[:, :nwin, nwin:] = 1.0
+        am = jnp.asarray(total)[None, :, None]
+        xw = window_partition(x_sh, win)
+        pb = jnp.broadcast_to(p[:, None], (b, xw.shape[1], 3, c))
+        xw = jnp.concatenate([xw, pb], axis=2)
+        shortcut = xw
+        y = mdl.attn_norm(xw)
+        y = mdl.attn(q=y, k=y, v=y, pos_bias=pos_bias, mask=am)
+        xw = y + shortcut
+        xw = xw[:, :, :-3, :]
+        xw = xw + mdl.mlp(mdl.mlp_norm(xw))
+        x_out = window_reverse(xw, win, (8, 8, 4))
+        return jnp.roll(x_out, shift=(2, 2, 1), axis=(1, 2, 3))
+
+    want = nn.apply(ref_apply, blk)(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -74,3 +74,59 @@ def test_fused_backward_matches_einsum():
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_matches_einsum(with_mask):
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.window_attention_pallas import (
+        fused_window_attention_packed)
+    b, p, m, n, h, dh = 2, 4, 16, 24, 4, 8
+    c = h * dh
+    keys = jax.random.split(jax.random.PRNGKey(2), 5)
+    q = _rand(keys[0], (b, p, m, c))
+    k = _rand(keys[1], (b, p, n, c))
+    v = _rand(keys[2], (b, p, n, c))
+    bias = _rand(keys[3], (1, 1, h, m, n))
+    mask = None
+    if with_mask:
+        mask = (jax.random.uniform(keys[4], (1, p, 1, m, n)) > 0.3).astype(
+            jnp.float32)
+    scale = dh ** -0.5
+    split = lambda t: t.reshape(b, p, t.shape[2], h, dh)
+    want = _reference(split(q), split(k), split(v), bias, mask, scale)
+    want = want.reshape(b, p, m, c)
+    got = fused_window_attention_packed(q, k, v, bias, mask, scale, h,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_packed_backward_matches_einsum():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.window_attention_pallas import (
+        fused_window_attention_packed)
+    b, p, m, n, h, dh = 1, 2, 8, 12, 2, 4
+    c = h * dh
+    keys = jax.random.split(jax.random.PRNGKey(5), 5)
+    q = _rand(keys[0], (b, p, m, c))
+    k = _rand(keys[1], (b, p, n, c))
+    v = _rand(keys[2], (b, p, n, c))
+    bias = _rand(keys[3], (1, 1, h, m, n))
+    mask = (jax.random.uniform(keys[4], (1, p, 1, m, n)) > 0.3).astype(
+        jnp.float32)
+    scale = dh ** -0.5
+    split = lambda t: t.reshape(b, p, t.shape[2], h, dh)
+
+    def loss_packed(q_, k_, v_, b_):
+        out = fused_window_attention_packed(q_, k_, v_, b_, mask, scale, h,
+                                            interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q_, k_, v_, b_):
+        out = _reference(split(q_), split(k_), split(v_), b_, mask, scale)
+        return jnp.sum(out ** 2)
+
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for gf, gr in zip(g_packed, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=3e-2, atol=3e-2)

@@ -171,3 +171,31 @@ def test_grad_flows_only_to_trainable_in_downstream():
     total = sum(float(jnp.abs(g).sum())
                 for g in jax.tree_util.tree_leaves(grads))
     assert total > 0
+
+
+def test_bfloat16_compute_close_to_fp32():
+    kw = dict(TINY)
+    conf32 = ModelConfig(training_mode="downstream",
+                         use_encoder_prompting=True,
+                         use_decoder_prompting=True, **kw)
+    kw16 = dict(kw)
+    kw16["compute_dtype"] = "bfloat16"
+    conf16 = ModelConfig(training_mode="downstream",
+                         use_encoder_prompting=True,
+                         use_decoder_prompting=True, **kw16)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=X_SHAPE),
+                    dtype=jnp.float32)
+    m32, v32 = _init(conf32, x)
+    m16 = SwinUnetR(conf16)
+    out32 = m32.apply(v32, x, deterministic=True,
+                      mutable=["batch_stats"])[0]["downstream"]
+    out16 = m16.apply(v32, x, deterministic=True,
+                      mutable=["batch_stats"])[0]["downstream"]
+    assert out16.dtype == jnp.float32  # heads upcast for losses
+    # bf16 trunk: logits agree to bf16-level tolerance; argmax mostly equal.
+    err = np.abs(np.asarray(out32) - np.asarray(out16))
+    scale = np.abs(np.asarray(out32)).mean() + 1e-6
+    assert err.mean() / scale < 0.1
+    agree = (np.argmax(np.asarray(out32), -1)
+             == np.argmax(np.asarray(out16), -1)).mean()
+    assert agree > 0.95
