@@ -41,6 +41,9 @@ EST_A100_VOLUMES_PER_SEC = 2.0
 VOLUME = (320, 320, 24)       # 4*4*5 = 80 roi-sized windows at stride roi/2
 CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 ATTN_IMPL = os.environ.get("BENCH_ATTN_IMPL", "auto")
+# bf16 trunk is the production serving configuration (fp32 BatchNorm
+# stats / softmax / heads; numerics-tested vs fp32 in the suite).
+COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
@@ -51,7 +54,7 @@ def main():
     from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
         make_sliding_window_fn, pad_starts, window_starts
 
-    conf = _flagship_conf(attn_impl=ATTN_IMPL)
+    conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE)
     model = SwinUnetR(conf)
     window = conf.attn_window_size  # attention window; roi is below
     roi = (128, 128, 8)
@@ -63,12 +66,12 @@ def main():
     def apply_fn(batch):
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
-    run = make_sliding_window_fn(apply_fn, roi, CHUNK,
-                                 conf.output_channels_downstream,
-                                 mode="gaussian")
     rng = np.random.default_rng(0)
     vol_np = rng.normal(0.3, 0.2, size=(*VOLUME, 1)).astype(np.float32)
-    slices, starts = window_starts(VOLUME, roi)
+    slices, starts, grid_shape = window_starts(VOLUME, roi)
+    run = make_sliding_window_fn(apply_fn, roi, CHUNK,
+                                 conf.output_channels_downstream,
+                                 mode="gaussian", grid_shape=grid_shape)
     vol_np = vol_np[slices[0], slices[1], slices[2]]
     starts, n_valid = pad_starts(starts, CHUNK)
     volume = jax.device_put(jnp.asarray(vol_np))

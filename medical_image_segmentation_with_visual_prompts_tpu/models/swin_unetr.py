@@ -135,15 +135,26 @@ class _ReconstructionHead(nn.Module):
 
 
 class _SegHead(nn.Module):
-    """BatchNorm + 3x3x3 Conv head (ref :226-237 and :382-394)."""
+    """BatchNorm + 3x3x3 Conv head (ref :226-237 and :382-394).
+
+    The conv runs shift-decomposed (ops/conv_small.py): with 2-5 output
+    channels at full volume resolution a direct conv wastes >25x of the
+    MXU lane width — this was the single hottest op in the traced
+    forward (6.4 ms of 37 ms).
+    """
 
     out_channels: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.conv_small import conv3d_small_cout
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                          use_running_average=deterministic, name="norm")(x)
-        return Conv3d(self.out_channels, (3, 3, 3), name="conv")(x)
+        kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, x.shape[-1], self.out_channels))
+        bias = self.param("conv_bias", nn.initializers.zeros,
+                          (self.out_channels,))
+        return conv3d_small_cout(x, kernel, bias).astype(jnp.float32)
 
 
 class SwinUnetR(nn.Module):

@@ -32,8 +32,8 @@ import numpy as np
 
 
 def window_starts(image_size: Sequence[int], window: Sequence[int]
-                  ) -> Tuple[Tuple[slice, ...], np.ndarray]:
-    """Center-crop slices + [N, 3] window start offsets (ref :229-252)."""
+                  ) -> Tuple[Tuple[slice, ...], np.ndarray, Tuple[int, ...]]:
+    """Center-crop slices, [N, 3] window starts, grid shape (ref :229-252)."""
     stride = [w // 2 for w in window]
     slices, axes = [], []
     for i in range(3):
@@ -42,7 +42,8 @@ def window_starts(image_size: Sequence[int], window: Sequence[int]
         slices.append(slice(begin, begin + adj))
         axes.append(np.arange(0, adj - window[i] + 1, stride[i]))
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
-    return tuple(slices), grid.astype(np.int32)
+    return (tuple(slices), grid.astype(np.int32),
+            tuple(len(a) for a in axes))
 
 
 def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125
@@ -57,8 +58,42 @@ def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125
     return np.maximum(g, 1e-4)
 
 
+def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
+                  out_spatial) -> jnp.ndarray:
+    """Sum overlapping windows into a volume without sequential scatter.
+
+    Windows at stride = window/2 overlap 2x per axis, so windows with the
+    same start-index parity are disjoint and tile a contiguous slab: the
+    accumulation decomposes into 8 parity cosets, each a pure
+    reshape/transpose + pad + add — fully parallel on device, unlike a
+    scatter loop.
+
+    values: ``[N, wh, ww, wd, C]`` in meshgrid (i-major) window order.
+    """
+    n0, n1, n2 = grid_shape
+    wh, ww, wd = window
+    s0, s1, s2 = stride
+    c = values.shape[-1]
+    grids = values.reshape(n0, n1, n2, wh, ww, wd, c)
+    out = jnp.zeros((*out_spatial, c), values.dtype)
+    for a in range(min(2, n0)):
+        for b in range(min(2, n1)):
+            for d in range(min(2, n2)):
+                sub = grids[a::2, b::2, d::2]
+                na, nb, nd = sub.shape[:3]
+                slab = sub.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+                    na * wh, nb * ww, nd * wd, c)
+                pads = [(a * s0, out_spatial[0] - a * s0 - na * wh),
+                        (b * s1, out_spatial[1] - b * s1 - nb * ww),
+                        (d * s2, out_spatial[2] - d * s2 - nd * wd),
+                        (0, 0)]
+                out = out + jnp.pad(slab, pads)
+    return out
+
+
 def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
-                           num_classes: int, mode: str = "gaussian"):
+                           num_classes: int, mode: str = "gaussian",
+                           grid_shape: Sequence[int] = None):
     """Build a jitted volume → prediction/stats function.
 
     Args:
@@ -69,6 +104,9 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
       num_classes: segmentation classes.
       mode: ``gaussian`` (returns stitched class-probability volume) or
         ``per_window`` (returns per-window argmax predictions).
+      grid_shape: (n0, n1, n2) window-grid counts (required for
+        ``gaussian``; the second output of :func:`window_starts` is this
+        grid flattened i-major).
 
     The returned fn takes (volume [H', W', D', C_in] already center-
     cropped, starts [N, 3] int32) with N padded to a multiple of
@@ -88,40 +126,28 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                 (wh, ww, wd, volume.shape[-1]))
 
         if mode == "gaussian":
-            out_shape = volume.shape[:3] + (num_classes,)
-            acc = jnp.zeros(out_shape, jnp.float32)
-            wacc = jnp.zeros(volume.shape[:3] + (1,), jnp.float32)
+            if grid_shape is None:
+                raise ValueError("gaussian mode needs grid_shape")
 
-            def body(carry, idx):
-                acc, wacc = carry
+            def body(_, idx):
                 s_chunk = jax.lax.dynamic_slice(starts, (idx * chunk, 0),
                                                 (chunk, 3))
                 batch = jax.vmap(gather_window)(s_chunk)
                 probs = jax.nn.softmax(apply_fn(batch), axis=-1)
                 valid = (idx * chunk + jnp.arange(chunk)) < n_valid
                 w = gauss[..., None] * valid[:, None, None, None, None]
-                probs = probs * w
+                return None, (probs * w, w)
 
-                def scatter(carry, i):
-                    acc, wacc = carry
-                    s = s_chunk[i]
-                    cur = jax.lax.dynamic_slice(
-                        acc, (s[0], s[1], s[2], 0),
-                        (wh, ww, wd, num_classes))
-                    acc = jax.lax.dynamic_update_slice(
-                        acc, cur + probs[i], (s[0], s[1], s[2], 0))
-                    curw = jax.lax.dynamic_slice(
-                        wacc, (s[0], s[1], s[2], 0), (wh, ww, wd, 1))
-                    wacc = jax.lax.dynamic_update_slice(
-                        wacc, curw + w[i], (s[0], s[1], s[2], 0))
-                    return (acc, wacc), None
-
-                (acc, wacc), _ = jax.lax.scan(scatter, (acc, wacc),
-                                              jnp.arange(chunk))
-                return (acc, wacc), None
-
-            (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
-                                          jnp.arange(n_chunks))
+            _, (wprobs, weights) = jax.lax.scan(body, None,
+                                                jnp.arange(n_chunks))
+            wprobs = wprobs.reshape((n,) + tuple(window) + (num_classes,))
+            weights = weights.reshape((n,) + tuple(window) + (1,))
+            nw = int(np.prod(grid_shape))
+            stride = tuple(wi // 2 for wi in window)
+            acc = _coset_stitch(wprobs[:nw], grid_shape, window, stride,
+                                volume.shape[:3])
+            wacc = _coset_stitch(weights[:nw], grid_shape, window, stride,
+                                 volume.shape[:3])
             return acc / jnp.maximum(wacc, 1e-8)
 
         # per_window mode: per-window argmax predictions [N, *window].

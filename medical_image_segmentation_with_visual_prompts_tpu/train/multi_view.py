@@ -150,22 +150,25 @@ class MultiViewTrainer:
                 total = total + mut_loss
                 parts["mut"] = mut_loss
             parts["tot"] = total
-            return total, (parts, new_bs)
+            view_data = None
+            if conf.view and conf.use_reconstruction:
+                view_data = (x_i * mi, out_i["reconstruction"] * mi)
+            return total, (parts, new_bs, view_data)
 
         if train:
             @jax.jit
             def step(tr, batch_stats, opt_state, image, rng):
-                (_, (parts, new_bs)), grads = jax.value_and_grad(
+                (_, (parts, new_bs, view_data)), grads = jax.value_and_grad(
                     losses_of, has_aux=True)(tr, batch_stats, image, rng,
                                              False)
                 updates, new_opt = tx.update(grads, opt_state, tr)
                 new_tr = optax.apply_updates(tr, updates)
-                return new_tr, new_bs, new_opt, parts
+                return new_tr, new_bs, new_opt, parts, view_data
             return step
 
         @jax.jit
         def val_step(tr, batch_stats, image, rng):
-            _, (parts, _) = losses_of(tr, batch_stats, image, rng, True)
+            _, (parts, _, _) = losses_of(tr, batch_stats, image, rng, True)
             return parts
         return val_step
 
@@ -227,8 +230,15 @@ class MultiViewTrainer:
                 batch = to_device(batch)
                 self.rng, k = jax.random.split(self.rng)
                 profiler.step_begin(global_step)
-                trainable, batch_stats, opt_state, parts = pick_train()(
+                (trainable, batch_stats, opt_state, parts,
+                 view_data) = pick_train()(
                     trainable, batch_stats, opt_state, batch["image"], k)
+                if conf.view and step % 5 == 0 and view_data is not None:
+                    from ..utils.visualization import view_reconstruction
+                    view_reconstruction(
+                        name=batch["name"], n_slices=4,
+                        ori_img=view_data[0], rec_img=view_data[1],
+                        epoch=epoch, step=step)
                 for name in self.loss_names:
                     if name in parts:
                         avg.append(name, parts[name])

@@ -152,7 +152,13 @@ class StudentsTeacherTrainer:
                 total = total + seg_loss
                 stats = seg_stats(out_sts[0]["seg_pred"], seg_true, nc)
             parts["tot"] = total
-            return total, (parts, bs, new_teacher_bs, stats)
+            view_data = None
+            if conf.view and conf.use_prototype_assignment:
+                view_data = (out_tch["latent_outputs"], batch["image"],
+                             [o["latent_outputs"] for o in out_sts],
+                             [batch[f"image_st_{i}"]
+                              for i in range(n_students)])
+            return total, (parts, bs, new_teacher_bs, stats, view_data)
 
         if train:
             @jax.jit
@@ -161,19 +167,19 @@ class StudentsTeacherTrainer:
                 # EMA update FIRST (ref :158-159).
                 student_params = partition.merge_params(tr, frozen)
                 new_teacher = ema_update(teacher_params, student_params, tau)
-                (_, (parts, new_bs, new_tbs, stats)), grads = \
+                (_, (parts, new_bs, new_tbs, stats, view_data)), grads = \
                     jax.value_and_grad(losses_of, has_aux=True)(
                         tr, frozen, student_bs, new_teacher, teacher_bs,
                         batch, rng, False)
                 updates, new_opt = tx.update(grads, opt_state, tr)
                 new_tr = optax.apply_updates(tr, updates)
                 return (new_tr, new_bs, new_teacher, new_tbs, new_opt, parts,
-                        stats)
+                        stats, view_data)
             return step
 
         @jax.jit
         def val_step(tr, student_bs, teacher_params, teacher_bs, batch, rng):
-            _, (parts, _, _, stats) = losses_of(
+            _, (parts, _, _, stats, _) = losses_of(
                 tr, frozen, student_bs, teacher_params, teacher_bs, batch,
                 rng, True)
             return parts, stats
@@ -261,9 +267,18 @@ class StudentsTeacherTrainer:
                 self.rng, k = jax.random.split(self.rng)
                 profiler.step_begin(global_step)
                 (trainable, student_bs, teacher_params, teacher_bs,
-                 opt_state, parts, stats) = train_step(
+                 opt_state, parts, stats, view_data) = train_step(
                     trainable, student_bs, teacher_params, teacher_bs,
                     opt_state, dev_batch, k)
+                if conf.view and step % 5 == 0 and view_data is not None:
+                    from ..utils.visualization import \
+                        view_prototype_students_teacher
+                    view_prototype_students_teacher(
+                        name=batch["name"], n_slices=4,
+                        chs=conf.hidden_channels[0],
+                        prt_tch=view_data[0], img_tch=view_data[1],
+                        prt_sts=view_data[2], img_sts=view_data[3],
+                        epoch=epoch, step=step)
                 for name in self.loss_names:
                     if name in parts:
                         avg.append(name, parts[name])

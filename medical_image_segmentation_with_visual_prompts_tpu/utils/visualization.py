@@ -24,7 +24,11 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PIL = False
 
-_OUT_ROOT = Path("~/image_outputs")
+import os
+
+# Reference writes to ~/image_outputs (modules/utils.py:152 etc.);
+# overridable for tests/deployments.
+_OUT_ROOT = Path(os.environ.get("MIVP_VIEW_DIR", "~/image_outputs"))
 
 
 def _resize128(arr: np.ndarray, nearest: bool) -> np.ndarray:

@@ -211,3 +211,22 @@ def test_content_query_attention_equals_full_then_cut():
     want = nn.apply(ref_apply, blk)(params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv_small_cout_matches_lax_conv():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.conv_small import (
+        conv3d_small_cout)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 7, 5, 6)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, 6, 2)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    got = conv3d_small_cout(x, kern, bias, compute_dtype=jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC")) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # Default bf16 tap compute stays within bf16 tolerance.
+    got16 = conv3d_small_cout(x, kern, bias)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                               rtol=5e-2, atol=2e-1)

@@ -119,7 +119,8 @@ def test_dp_serving_step():
 
 
 def test_window_starts_matches_reference_grid():
-    slices, starts = window_starts((24, 24, 12), (16, 16, 8))
+    slices, starts, grid_shape = window_starts((24, 24, 12), (16, 16, 8))
+    assert grid_shape == (2, 2, 2)
     # adjusted = (24-16)//8*8+16 = 24 -> no crop; starts 0, 8 per h/w axis;
     # depth: (12-8)//4*4+8 = 12 -> starts 0, 4.
     assert slices == (slice(0, 24), slice(0, 24), slice(0, 12))
@@ -138,10 +139,11 @@ def test_gaussian_sliding_window_constant_volume():
         return base.at[..., 2].set(5.0)
 
     roi = (8, 8, 4)
-    run = make_sliding_window_fn(apply_fn, roi, chunk=4,
-                                 num_classes=num_classes, mode="gaussian")
     vol_shape = (16, 16, 8)
-    slices, starts = window_starts(vol_shape, roi)
+    slices, starts, grid_shape = window_starts(vol_shape, roi)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=4,
+                                 num_classes=num_classes, mode="gaussian",
+                                 grid_shape=grid_shape)
     starts, n_valid = pad_starts(starts, 4)
     vol = jnp.zeros((*vol_shape, 1))
     probs = run(vol, jnp.asarray(starts), n_valid)
@@ -161,7 +163,7 @@ def test_per_window_sliding_matches_direct_forward():
                                  mode="per_window")
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.normal(size=(24, 24, 8, 1)), jnp.float32)
-    slices, starts = window_starts((24, 24, 8), roi)
+    slices, starts, _ = window_starts((24, 24, 8), roi)
     vol_c = vol[slices[0], slices[1], slices[2]]
     starts_p, n_valid = pad_starts(starts, 2)
     preds = run(vol_c, jnp.asarray(starts_p), n_valid)
@@ -169,3 +171,38 @@ def test_per_window_sliding_matches_direct_forward():
     w0 = vol_c[None, :16, :16, :8]
     direct = jnp.argmax(apply_fn(w0), -1)[0]
     np.testing.assert_array_equal(np.asarray(preds[0]), np.asarray(direct))
+
+
+def test_gaussian_stitch_matches_bruteforce():
+    """Coset stitching == naive numpy scatter accumulation."""
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel.sliding_window import (
+        _gaussian_importance)
+    num_classes = 2
+    roi = (8, 8, 4)
+
+    def apply_fn(batch):
+        # Content-dependent logits so overlaps actually blend.
+        return jnp.concatenate([batch, -batch], axis=-1) * 3.0
+
+    vol_shape = (16, 16, 8)
+    slices, starts, grid_shape = window_starts(vol_shape, roi)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=4,
+                                 num_classes=num_classes, mode="gaussian",
+                                 grid_shape=grid_shape)
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(*vol_shape, 1)).astype(np.float32)
+    starts_p, n_valid = pad_starts(starts, 4)
+    got = np.asarray(run(jnp.asarray(vol), jnp.asarray(starts_p), n_valid))
+
+    gauss = _gaussian_importance(roi)[..., None]
+    acc = np.zeros((*vol_shape, num_classes), np.float32)
+    wacc = np.zeros((*vol_shape, 1), np.float32)
+    for s in starts:
+        w = vol[s[0]:s[0]+8, s[1]:s[1]+8, s[2]:s[2]+4]
+        logits = np.concatenate([w, -w], axis=-1) * 3.0
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        acc[s[0]:s[0]+8, s[1]:s[1]+8, s[2]:s[2]+4] += probs * gauss
+        wacc[s[0]:s[0]+8, s[1]:s[1]+8, s[2]:s[2]+4] += gauss
+    want = acc / np.maximum(wacc, 1e-8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
