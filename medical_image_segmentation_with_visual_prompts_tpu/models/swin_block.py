@@ -141,12 +141,12 @@ class SwinTransformerBlock(nn.Module):
         # Restricting queries to the content rows gives bit-identical
         # kept outputs, skips ~tokens/N of the attention work, and keeps
         # the query tile count MXU-aligned.
-        q_in = y[:, :, :n_content] if p is not None else y
         bias_rows = pos_bias[:, :, :, :n_content, :]
         mask_rows = None if attn_mask is None \
             else attn_mask[:, :, :, :n_content, :]
-        y = self.attn(q=q_in, k=y, v=y, pos_bias=bias_rows, mask=mask_rows,
-                      deterministic=deterministic)
+        y = self.attn(q=y, k=y, v=y, pos_bias=bias_rows, mask=mask_rows,
+                      deterministic=deterministic,
+                      q_rows=n_content if p is not None else None)
         x_win = y + shortcut
         x_win = x_win + self.mlp(self.mlp_norm(x_win))
         x_shifted = window_reverse(x_win, window_size, (hp, wp, dp))

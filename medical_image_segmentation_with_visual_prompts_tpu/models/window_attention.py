@@ -55,10 +55,13 @@ class WindowAttention(nn.Module):
                  v: jnp.ndarray,
                  pos_bias: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 q_rows: Optional[int] = None) -> jnp.ndarray:
         """q: [B, P, M, C]; k/v: [B, P, N, C] (M == N or M < N for
         content-query attention); pos_bias: [1, 1, H, M, N];
-        mask: [1, P, 1, M, N]."""
+        mask: [1, P, 1, M, N].  When q/k/v are the SAME array, pass
+        ``q_rows`` to restrict queries to the first rows (content-query
+        attention) — enables the qkv-fused kernel."""
         if self.dim % self.num_heads != 0:
             raise ValueError(
                 "WindowAttention: The dimension is not compatible "
@@ -66,19 +69,42 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
-        q = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
-                     dtype=self.dtype, name="to_q")(q)
-        k = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
-                     dtype=self.dtype, name="to_k")(k)
-        v = nn.Dense(self.dim, use_bias=False, kernel_init=_xavier,
-                     dtype=self.dtype, name="to_v")(v)
+        # Raw bias-free projection weights (reference
+        # window_attention.py:27-29), shared by the XLA path and the
+        # qkv-fused Pallas kernel.
+        wq = self.param("to_q_kernel", _xavier, (q.shape[-1], self.dim))
+        wk = self.param("to_k_kernel", _xavier, (k.shape[-1], self.dim))
+        wv = self.param("to_v_kernel", _xavier, (v.shape[-1], self.dim))
 
-        b, p, m, _ = q.shape
+        b, p = q.shape[:2]
+        m = q_rows if (q_rows is not None and q is k) else q.shape[2]
         n = k.shape[2]
 
         if _use_pallas(self.attn_impl, deterministic, self.attn_drop) \
+                and self.dim <= 128 and q is k and k is v:
+            # qkv-fused packed kernel: projections + block-diagonal head
+            # packing run inside VMEM; only the post-LN activations are
+            # read from HBM once.
+            from ..ops.window_attention_pallas import \
+                fused_window_attention_packed_qkv
+            out = fused_window_attention_packed_qkv(
+                k, wq, wk, wv, m_len=m, pos_bias=pos_bias, mask=mask,
+                scale=scale, num_heads=self.num_heads,
+                compute_dtype=self.dtype or jnp.float32)
+            out = nn.Dense(self.dim, kernel_init=_xavier, dtype=self.dtype,
+                           name="proj")(out)
+            out = nn.Dropout(self.proj_drop, name="proj_dropout")(
+                out, deterministic=deterministic)
+            return out
+
+        cast = (lambda t: t.astype(self.dtype)) if self.dtype else (lambda t: t)
+        q = (cast(q) @ cast(wq))[:, :, :m]
+        k = cast(k) @ cast(wk)
+        v = cast(v) @ cast(wv)
+
+        if _use_pallas(self.attn_impl, deterministic, self.attn_drop) \
                 and self.dim <= 128:
-            # Packed kernel: block-diagonal head packing, no head split.
+            # Packed kernel without qkv fusion (distinct q/kv inputs).
             from ..ops.window_attention_pallas import \
                 fused_window_attention_packed
             out = fused_window_attention_packed(

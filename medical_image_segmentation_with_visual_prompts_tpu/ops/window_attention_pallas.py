@@ -311,6 +311,176 @@ def _fused_packed_bwd(scale, num_heads, interpret, res, g):
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 
 
+# -------------------------------------------------------------- qkv-fused
+# One step further for C <= 128: the q/k/v projections run inside the
+# kernel too, so HBM sees ONE read of the post-LN activations instead of
+# three projected tensors (plus the layout-conversion copies XLA inserted
+# for the kernel operands — ~2 ms/forward in traces).
+
+
+def _packed_qkv_kernel(y_ref, wq_ref, wk_ref, wv_ref, bias_ref, mask_ref,
+                       colmask_ref, o_ref, *, scale: float, num_heads: int,
+                       group: int, m_len: int, with_mask: bool):
+    g, h, m = group, num_heads, m_len
+    n, c = y_ref.shape[1], y_ref.shape[2]
+    y = y_ref[:].astype(jnp.bfloat16)                  # [g, n, C]
+    wq = wq_ref[:].astype(jnp.bfloat16)
+    wk = wk_ref[:].astype(jnp.bfloat16)
+    wv = wv_ref[:].astype(jnp.bfloat16)
+    y_m = y[:, :m, :]
+    # Mosaic requires fp32 matmul accumulators; cast results to bf16.
+    q = jax.lax.dot_general(y_m, wq, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+    k = jax.lax.dot_general(y, wk, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+    v = jax.lax.dot_general(y, wv, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+    colmask = colmask_ref[:].astype(jnp.bfloat16)      # [h, C]
+    qp = jnp.concatenate([q * colmask[hh][None, None, :]
+                          for hh in range(h)], axis=1)  # [g, h*m, C]
+    s = jax.lax.dot_general(
+        qp, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale     # [g, h*m, n]
+    s = s + bias_ref[:].astype(jnp.float32)[None]
+    if with_mask:
+        mask = mask_ref[:].astype(jnp.float32)          # [g, m, n]
+        s = s * jnp.concatenate([mask] * h, axis=1)
+    p = jax.nn.softmax(s, axis=-1)
+    o_full = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [g, h*m, C]
+    colmask32 = colmask_ref[:].astype(jnp.float32)
+    o = o_full[:, 0:m, :] * colmask32[0][None, None, :]
+    for hh in range(1, h):
+        o = o + o_full[:, hh * m:(hh + 1) * m, :] \
+            * colmask32[hh][None, None, :]
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _forward_packed_qkv(y, wq, wk, wv, bias, mask, scale, num_heads, m_len,
+                        interpret=False):
+    """y: [BP, N, C]; w*: [C, C]; bias: [H, M, N]; mask: [P, M, N]."""
+    import numpy as np
+    bp, n, c = y.shape
+    dh = c // num_heads
+    p = mask.shape[0] if mask is not None else None
+    g = _pick_group_packed(bp, p, num_heads, m_len, n)
+    colmask_np = np.zeros((num_heads, c), np.float32)
+    for hh in range(num_heads):
+        colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    kernel = functools.partial(
+        _packed_qkv_kernel, scale=scale, num_heads=num_heads, group=g,
+        m_len=m_len, with_mask=mask is not None)
+    y_spec = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((g, m_len, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((c, c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads * m_len, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    colmask_spec = pl.BlockSpec((num_heads, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = [y_spec, w_spec, w_spec, w_spec, bias_spec]
+    args = [y, wq, wk, wv, bias.reshape(num_heads * m_len, n)]
+    if mask is not None:
+        pg = p // g
+        in_specs.append(pl.BlockSpec((g, m_len, n),
+                                     lambda i: (i % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1), y.dtype))
+    in_specs.append(colmask_spec)
+    args.append(jnp.asarray(colmask_np))
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, m_len, c), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * num_heads * m_len * n * dh
+            + 6 * bp * n * c * c,
+            bytes_accessed=2 * y.size * y.dtype.itemsize,
+            transcendentals=bp * num_heads * m_len * n),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_packed_qkv(y, wq, wk, wv, scale, num_heads, m_len, interpret,
+                      bias, mask):
+    return _forward_packed_qkv(y, wq, wk, wv, bias, mask, scale, num_heads,
+                               m_len, interpret)
+
+
+def _fused_packed_qkv_fwd(y, wq, wk, wv, scale, num_heads, m_len, interpret,
+                          bias, mask):
+    out = _fused_packed_qkv(y, wq, wk, wv, scale, num_heads, m_len,
+                            interpret, bias, mask)
+    return out, (y, wq, wk, wv, bias, mask)
+
+
+def _fused_packed_qkv_bwd(scale, num_heads, m_len, interpret, res, g):
+    y, wq, wk, wv, bias, mask = res
+    yf = y.astype(jnp.float32)
+    q = (yf[:, :m_len] @ wq.astype(jnp.float32))
+    k = yf @ wk.astype(jnp.float32)
+    v = yf @ wv.astype(jnp.float32)
+    dq, dk, dv, dbias, dmask = _fused_packed_bwd(
+        scale, num_heads, interpret, (q, k, v, bias, mask),
+        g.astype(jnp.float32))
+    dwq = jnp.einsum("xnc,xnd->cd", yf[:, :m_len], dq)
+    dwk = jnp.einsum("xnc,xnd->cd", yf, dk)
+    dwv = jnp.einsum("xnc,xnd->cd", yf, dv)
+    dy = dk @ wk.astype(jnp.float32).T + dv @ wv.astype(jnp.float32).T
+    dy_q = dq @ wq.astype(jnp.float32).T
+    dy = dy.at[:, :m_len].add(dy_q)
+    return (dy.astype(y.dtype), dwq.astype(wq.dtype),
+            dwk.astype(wk.dtype), dwv.astype(wv.dtype), dbias, dmask)
+
+
+_fused_packed_qkv.defvjp(_fused_packed_qkv_fwd, _fused_packed_qkv_bwd)
+
+
+def fused_window_attention_packed_qkv(y: jnp.ndarray, wq: jnp.ndarray,
+                                      wk: jnp.ndarray, wv: jnp.ndarray,
+                                      m_len: int,
+                                      pos_bias: Optional[jnp.ndarray],
+                                      mask: Optional[jnp.ndarray],
+                                      scale: float, num_heads: int,
+                                      compute_dtype=jnp.float32,
+                                      interpret: bool = False) -> jnp.ndarray:
+    """qkv-fused packed attention on shared post-LN activations.
+
+    Args:
+      y: ``[B, P, N, C]`` post-norm window tokens (content rows first);
+      wq/wk/wv: ``[C, C]`` bias-free projections;
+      m_len: number of content-query rows;
+      pos_bias: ``[1, 1, H, M, N]``; mask: ``[1, P, 1, M, N]``.
+
+    Returns: ``[B, P, M, C]`` attention output (pre-proj).
+    """
+    b, p, n, c = y.shape
+    if pos_bias is None:
+        bias = jnp.zeros((num_heads, m_len, n), jnp.float32)
+    else:
+        bias = pos_bias.reshape(num_heads, m_len, n)
+    msk = None if mask is None else mask.reshape(p, m_len, n)
+    yf = y.reshape(b * p, n, c).astype(compute_dtype)
+    out = _fused_packed_qkv(yf, wq.astype(compute_dtype),
+                            wk.astype(compute_dtype),
+                            wv.astype(compute_dtype), scale, num_heads,
+                            m_len, interpret, bias, msk)
+    return out.reshape(b, p, m_len, c)
+
+
 def fused_window_attention_packed(q: jnp.ndarray, k: jnp.ndarray,
                                   v: jnp.ndarray,
                                   pos_bias: Optional[jnp.ndarray],

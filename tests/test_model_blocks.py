@@ -51,7 +51,7 @@ def test_window_attention_mask_multiplicative():
     # logits by 0 instead of -inf masking).
     mask0 = jnp.zeros((1, 2, 1, 4, 4))
     out0 = attn.apply(params, x, x, x, None, mask0)
-    v = x @ params["params"]["to_v"]["kernel"]
+    v = x @ params["params"]["to_v_kernel"]
     v_mean = jnp.mean(v, axis=2, keepdims=True)
     expect = v_mean @ params["params"]["proj"]["kernel"] \
         + params["params"]["proj"]["bias"]

@@ -130,3 +130,67 @@ def test_packed_backward_matches_einsum():
     for gf, gr in zip(g_packed, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_qkv_matches_einsum(with_mask):
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.window_attention_pallas import (
+        fused_window_attention_packed_qkv)
+    b, p, m, n, h, dh = 2, 4, 16, 24, 4, 8
+    c = h * dh
+    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    y = _rand(keys[0], (b, p, n, c))
+    wq = _rand(keys[1], (c, c)) * 0.2
+    wk = _rand(keys[2], (c, c)) * 0.2
+    wv = _rand(keys[3], (c, c)) * 0.2
+    bias = _rand(keys[4], (1, 1, h, m, n))
+    mask = None
+    if with_mask:
+        mask = (jax.random.uniform(keys[5], (1, p, 1, m, n)) > 0.3).astype(
+            jnp.float32)
+    scale = dh ** -0.5
+    split = lambda t: t.reshape(b, p, t.shape[2], h, dh)
+    q = (y @ wq)[:, :, :m]
+    k, v = y @ wk, y @ wv
+    want = _reference(split(q), split(k), split(v), bias, mask, scale)
+    want = want.reshape(b, p, m, c)
+    got = fused_window_attention_packed_qkv(
+        y, wq, wk, wv, m_len=m, pos_bias=bias, mask=mask, scale=scale,
+        num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_packed_qkv_backward():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.window_attention_pallas import (
+        fused_window_attention_packed_qkv)
+    b, p, m, n, h, dh = 1, 2, 8, 12, 2, 4
+    c = h * dh
+    keys = jax.random.split(jax.random.PRNGKey(8), 6)
+    y = _rand(keys[0], (b, p, n, c))
+    wq = _rand(keys[1], (c, c)) * 0.2
+    wk = _rand(keys[2], (c, c)) * 0.2
+    wv = _rand(keys[3], (c, c)) * 0.2
+    bias = _rand(keys[4], (1, 1, h, m, n))
+    mask = (jax.random.uniform(keys[5], (1, p, 1, m, n)) > 0.3).astype(
+        jnp.float32)
+    scale = dh ** -0.5
+    split = lambda t: t.reshape(b, p, t.shape[2], h, dh)
+
+    def loss_fused(y_, wq_, wk_, wv_, b_):
+        out = fused_window_attention_packed_qkv(
+            y_, wq_, wk_, wv_, m_len=m, pos_bias=b_, mask=mask, scale=scale,
+            num_heads=h, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(y_, wq_, wk_, wv_, b_):
+        q = (y_ @ wq_)[:, :, :m]
+        out = _reference(split(q), split(y_ @ wk_), split(y_ @ wv_), b_,
+                         mask, scale)
+        return jnp.sum(out ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(y, wq, wk, wv, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(y, wq, wk, wv, bias)
+    for gf, gr in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-2, atol=5e-2)
