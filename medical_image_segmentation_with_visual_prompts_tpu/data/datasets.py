@@ -26,6 +26,7 @@ import math
 import queue
 import random
 import threading
+from collections import deque as collections_deque
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
 
@@ -122,14 +123,29 @@ class DataLoader:
         return len(self.dataset)
 
     def _produce(self, order, q):
+        """Transform items in a worker pool; emit batches in order."""
+        from concurrent.futures import ThreadPoolExecutor
         try:
             buffer: List[Dict] = []
-            for idx in order:
-                buffer.extend(self.dataset[idx])
-                while len(buffer) >= self.batch_size:
-                    batch, buffer = (buffer[:self.batch_size],
-                                     buffer[self.batch_size:])
-                    q.put(_collate(batch))
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                # Keep ~2x workers of items in flight, consume in order.
+                futures = collections_deque()
+                it = iter(order)
+                for _ in range(2 * self.num_workers):
+                    idx = next(it, None)
+                    if idx is None:
+                        break
+                    futures.append(pool.submit(self.dataset.__getitem__, idx))
+                while futures:
+                    buffer.extend(futures.popleft().result())
+                    idx = next(it, None)
+                    if idx is not None:
+                        futures.append(
+                            pool.submit(self.dataset.__getitem__, idx))
+                    while len(buffer) >= self.batch_size:
+                        batch, buffer = (buffer[:self.batch_size],
+                                         buffer[self.batch_size:])
+                        q.put(_collate(batch))
             if buffer and not self.drop_last:
                 q.put(_collate(buffer))
         except Exception as e:  # propagate to consumer

@@ -388,3 +388,20 @@ def transform_pretrain_fit(item: Dict, conf,
         rec = {**crops, **students, "name": item["name"]}
         out.append(rec)
     return out
+
+
+def load_pseudo_bg_mask(sample: Dict[str, np.ndarray],
+                        image_key: str = "image",
+                        name: str = "pseudo_bg",
+                        threshold: float = 0.0025) -> Dict[str, np.ndarray]:
+    """Pseudo background mask by intensity threshold.
+
+    Equivalent of the reference's ``LoadPseudoBgMaskd``
+    (transforms.py:363-373) — defined but unused by any reference
+    pipeline; provided for API completeness.
+    """
+    out = dict(sample)
+    for key in list(sample.keys()):
+        if image_key in key:
+            out[key.replace(image_key, name)] = sample[key] > threshold
+    return out

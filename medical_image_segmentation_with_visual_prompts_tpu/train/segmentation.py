@@ -166,6 +166,9 @@ class SegmentationTrainer:
         avg = AvgLosses(["seg", "tot"])
         avg_val = AvgLosses(["seg", "tot"])
         best_val = {"seg": float("inf"), "tot": float("inf")}
+        from ..utils.summary import model_summary
+        self.logger.info(model_summary(
+            partition.merge_params(trainable, frozen)))
         self.logger.info(f"Scalar summaries: {conf.summary_dir}")
         self.logger.info(f"Using device: {jax.devices()[0]}.")
         self.logger.info(f"Start training from epoch {start_epoch:04d}.")

@@ -246,6 +246,9 @@ class StudentsTeacherTrainer:
         avg = AvgLosses(self.loss_names)
         avg_val = AvgLosses(self.loss_names)
         best_val = {n: float("inf") for n in self.loss_names}
+        from ..utils.summary import model_summary
+        self.logger.info(model_summary(
+            partition.merge_params(trainable, frozen)))
         self.logger.info(f"Scalar summaries: {conf.summary_dir}")
         self.logger.info(f"Using device: {jax.devices()[0]}.")
         self.logger.info(f"Start training from epoch {start_epoch:04d}.")

@@ -217,3 +217,20 @@ def test_map_label_indices():
     np.testing.assert_array_equal(np.asarray(out), [[0, 1, 0, 0, 1, 0]])
     out2 = map_label_indices(m, [0, 2, 3, 5])
     np.testing.assert_array_equal(np.asarray(out2), [[0, 3, 2, 1, 3, 0]])
+
+
+def test_load_pseudo_bg_mask():
+    x = np.array([[0.0, 0.001, 0.5]], dtype=np.float32)
+    out = T.load_pseudo_bg_mask({"image": x})
+    np.testing.assert_array_equal(out["pseudo_bg"], [[False, False, True]])
+    assert "image" in out
+
+
+def test_resize_content_and_random_orientation(tmp_path):
+    img, msk = _make_dataset(tmp_path, n=3)
+    conf = _conf(img, msk, resize_content=True,
+                 resize_spatial_size=(20, 20, 8), random_orientation=True,
+                 seg_input_size=(16, 16, 4))
+    train, _ = get_fit_loader_downstream(conf)
+    batch = next(iter(train))
+    assert batch["image"].shape == (2, 16, 16, 4, 1)

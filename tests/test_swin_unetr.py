@@ -199,3 +199,18 @@ def test_bfloat16_compute_close_to_fp32():
     agree = (np.argmax(np.asarray(out32), -1)
              == np.argmax(np.asarray(out16), -1)).mean()
     assert agree > 0.95
+
+
+def test_full_res_block_unetr_up_path():
+    # unetr_res_block='full' + unetr_up_block='unetr' exercises the MONAI-
+    # equivalent UnetrBasicBlock / UnetrUpBlock decoder (ref :248-289,
+    # :338-348).
+    kw = dict(TINY)
+    kw["unetr_res_block"] = "full"
+    kw["unetr_up_block"] = "unetr"
+    conf = ModelConfig(training_mode="downstream", **kw)
+    x = jnp.zeros((1,) + X_SHAPE[1:])
+    model, variables = _init(conf, x)
+    out = model.apply(variables, x, deterministic=True,
+                      mutable=["batch_stats"])[0]
+    assert out["downstream"].shape == (1, 32, 32, 8, 2)
