@@ -126,14 +126,6 @@ class SwinTransformerBlock(nn.Module):
 
         x_win = window_partition(x_shifted, window_size)  # [B, P, Nc, C]
         n_content = x_win.shape[2]
-        if p is not None:
-            p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),
-                                   (b, x_win.shape[1], n_tokens, c))
-            kv = jnp.concatenate([x_win, p_b], axis=2)  # [B, P, Nc+I, C]
-        else:
-            kv = x_win
-        shortcut = x_win
-        y = self.attn_norm(kv)
         # Content-query attention: the reference computes attention for
         # the prompt-token query rows too and then cuts them away
         # (swin_block.py:215-225) — those rows are pure waste (and under
@@ -144,11 +136,49 @@ class SwinTransformerBlock(nn.Module):
         bias_rows = pos_bias[:, :, :, :n_content, :]
         mask_rows = None if attn_mask is None \
             else attn_mask[:, :, :, :n_content, :]
-        y = self.attn(q=y, k=y, v=y, pos_bias=bias_rows, mask=mask_rows,
-                      deterministic=deterministic,
-                      q_rows=n_content if p is not None else None)
-        x_win = y + shortcut
-        x_win = x_win + self.mlp(self.mlp_norm(x_win))
+
+        from .window_attention import _use_pallas
+        use_fused_block = (
+            deterministic and not self.is_initializing()
+            and self.hidden_channels <= 128
+            and _use_pallas(self.attn_impl, True, self.attn_drop))
+        if use_fused_block:
+            # Entire LN->qkv->attention->proj->LN->MLP body in one Pallas
+            # kernel (ops/fused_block.py); prompt tokens are model
+            # parameters broadcast over the batch, so row 0 carries them.
+            from ..ops.fused_block import fused_swin_block
+            attn_params = self.attn.variables["params"]
+            ln1 = self.attn_norm.variables["params"]
+            ln2 = self.mlp_norm.variables["params"]
+            mlp = self.mlp.variables["params"]
+            params = {
+                "ln1_scale": ln1["scale"], "ln1_bias": ln1["bias"],
+                "wq": attn_params["to_q_kernel"],
+                "wk": attn_params["to_k_kernel"],
+                "wv": attn_params["to_v_kernel"],
+                "wproj": attn_params["proj"]["kernel"],
+                "bproj": attn_params["proj"]["bias"],
+                "ln2_scale": ln2["scale"], "ln2_bias": ln2["bias"],
+                "wmlp": mlp["kernel"], "bmlp": mlp["bias"],
+            }
+            head_dim = self.hidden_channels // self.num_heads
+            x_win = fused_swin_block(
+                x_win, p[0] if p is not None else None, params, bias_rows,
+                mask_rows, head_dim ** -0.5, self.num_heads)
+        else:
+            if p is not None:
+                p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),
+                                       (b, x_win.shape[1], n_tokens, c))
+                kv = jnp.concatenate([x_win, p_b], axis=2)  # [B, P, Nc+I, C]
+            else:
+                kv = x_win
+            shortcut = x_win
+            y = self.attn_norm(kv)
+            y = self.attn(q=y, k=y, v=y, pos_bias=bias_rows, mask=mask_rows,
+                          deterministic=deterministic,
+                          q_rows=n_content if p is not None else None)
+            x_win = y + shortcut
+            x_win = x_win + self.mlp(self.mlp_norm(x_win))
         x_shifted = window_reverse(x_win, window_size, (hp, wp, dp))
         if shifted:
             x = jnp.roll(x_shifted,

@@ -1,0 +1,255 @@
+"""Fully fused Swin block kernel: LN → qkv → attention → proj → LN → MLP.
+
+The per-block elementwise chain around attention (two LayerNorms, the
+projection, the single-Linear MLP, two residual adds, the prompt-token
+concat) costs ~6 ms of XLA fusions and layout copies per forward in
+traces.  For C <= 128 this kernel executes the ENTIRE
+``SwinTransformerBlock.forward_attn_mlp`` inner body (reference
+swin_block.py:205-227) in VMEM per window group:
+
+    kv   = concat(x, tokens)
+    y    = LN1(kv)                     (fp32 statistics, eps 1e-6)
+    q    = y[:m] Wq ; k = y Wk ; v = y Wv          (bf16 MXU, fp32 acc)
+    a    = packed block-diagonal head attention    (fp32 softmax)
+    x1   = x + (a Wproj + bproj)                   (residual)
+    x2   = x1 + (LN2(x1) Wmlp + bmlp)              (single-Linear "MLP")
+
+One HBM read of x / one write of x2 per block.  Gradients: a
+``jax.custom_vjp`` whose backward differentiates an exactly-matching
+pure-jnp reference implementation (``_block_reference``) — correct for
+any consumer, while the inference path never materializes
+intermediates.
+
+Prompt tokens are passed UNBATCHED ``[I, C]`` (they are broadcast model
+parameters, identical across the batch by construction).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_attention_pallas import _VMEM_BUDGET, _pick_group_packed
+
+_EPS = 1e-6
+
+
+def _ln(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    y = (x - mu) * jax.lax.rsqrt(var + _EPS)
+    return y * scale + bias
+
+
+def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
+                  wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
+                  bm_ref, bias_ref, mask_ref, colmask_ref, o_ref, *,
+                  scale: float, num_heads: int, group: int, n_tokens: int,
+                  with_mask: bool):
+    g, h, i = group, num_heads, n_tokens
+    m, c = x_ref.shape[1], x_ref.shape[2]
+    n = m + i
+    x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
+    if i > 0:
+        tok = tok_ref[:].astype(jnp.float32)              # [i, c]
+        tok_g = jnp.concatenate([tok[None]] * g, axis=0)  # [g, i, c]
+        kv = jnp.concatenate([x, tok_g], axis=1)          # [g, n, c]
+    else:
+        kv = x
+    y = _ln(kv, ln1s_ref[0].astype(jnp.float32)[None, None, :],
+            ln1b_ref[0].astype(jnp.float32)[None, None, :])
+    y16 = y.astype(jnp.bfloat16)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q = dot(y16[:, :m], wq_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    k = dot(y16, wk_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    v = dot(y16, wv_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    colmask = colmask_ref[:].astype(jnp.bfloat16)         # [h, c]
+    qp = jnp.concatenate([q * colmask[hh][None, None, :]
+                          for hh in range(h)], axis=1)    # [g, h*m, c]
+    s = jax.lax.dot_general(
+        qp, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale       # [g, h*m, n]
+    s = s + bias_ref[:].astype(jnp.float32)[None]
+    if with_mask:
+        mask = mask_ref[:].astype(jnp.float32)            # [g, m, n]
+        s = s * jnp.concatenate([mask] * h, axis=1)
+    probs = jax.nn.softmax(s, axis=-1)
+    o_full = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [g, h*m, c]
+    colmask32 = colmask_ref[:].astype(jnp.float32)
+    attn = o_full[:, 0:m, :] * colmask32[0][None, None, :]
+    for hh in range(1, h):
+        attn = attn + o_full[:, hh * m:(hh + 1) * m, :] \
+            * colmask32[hh][None, None, :]
+    proj = dot(attn.astype(jnp.bfloat16), wp_ref[:].astype(jnp.bfloat16)) \
+        + bp_ref[0].astype(jnp.float32)[None, None, :]
+    x1 = x + proj
+    l2 = _ln(x1, ln2s_ref[0].astype(jnp.float32)[None, None, :],
+             ln2b_ref[0].astype(jnp.float32)[None, None, :])
+    mlp = dot(l2.astype(jnp.bfloat16), wm_ref[:].astype(jnp.bfloat16)) \
+        + bm_ref[0].astype(jnp.float32)[None, None, :]
+    o_ref[:] = (x1 + mlp).astype(o_ref.dtype)
+
+
+def _block_reference(x, tokens, params, bias, mask, scale, num_heads):
+    """Pure-jnp mirror of the kernel (differentiable; used by the VJP)."""
+    bp, m, c = x.shape
+    dh = c // num_heads
+    xf = x.astype(jnp.float32)
+    if tokens is not None:
+        tok = jnp.broadcast_to(tokens.astype(jnp.float32)[None],
+                               (bp,) + tokens.shape)
+        kv = jnp.concatenate([xf, tok], axis=1)
+    else:
+        kv = xf
+    y = _ln(kv, params["ln1_scale"], params["ln1_bias"]).astype(jnp.bfloat16)
+    q = (y[:, :m] @ params["wq"].astype(jnp.bfloat16)).astype(jnp.float32)
+    k = (y @ params["wk"].astype(jnp.bfloat16)).astype(jnp.float32)
+    v = (y @ params["wv"].astype(jnp.bfloat16)).astype(jnp.float32)
+    split = lambda t: t.reshape(bp, t.shape[1], num_heads, dh)
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("xmhd,xnhd->xhmn", qh, kh) * scale
+    s = s + bias[None]
+    if mask is not None:
+        s = s * mask[:, None]
+    probs = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum("xhmn,xnhd->xmhd", probs, vh).reshape(bp, m, c)
+    proj = (attn.astype(jnp.bfloat16)
+            @ params["wproj"].astype(jnp.bfloat16)).astype(jnp.float32) \
+        + params["bproj"]
+    x1 = xf + proj
+    l2 = _ln(x1, params["ln2_scale"], params["ln2_bias"])
+    mlp = (l2.astype(jnp.bfloat16)
+           @ params["wmlp"].astype(jnp.bfloat16)).astype(jnp.float32) \
+        + params["bmlp"]
+    return (x1 + mlp).astype(x.dtype)
+
+
+_PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
+               "ln2_scale", "ln2_bias", "wmlp", "bmlp")
+
+
+def _forward(x, tokens, params, bias, mask, scale, num_heads,
+             interpret=False):
+    bp, m, c = x.shape
+    i = 0 if tokens is None else tokens.shape[0]
+    n = m + i
+    dh = c // num_heads
+    p = mask.shape[0] if mask is not None else None
+    g = _pick_group_packed(bp, p, num_heads, m, n)
+    colmask_np = np.zeros((num_heads, c), np.float32)
+    for hh in range(num_heads):
+        colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    kernel = functools.partial(
+        _block_kernel, scale=scale, num_heads=num_heads, group=g,
+        n_tokens=i, with_mask=mask is not None)
+    x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((c, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
+    tok_spec = pl.BlockSpec((max(i, 1), c), lambda idx: (0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
+                             memory_space=pltpu.VMEM)
+    colmask_spec = pl.BlockSpec((num_heads, c), lambda idx: (0, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = [x_spec, tok_spec, vec(c), vec(c), mat, mat, mat, mat,
+                vec(c), vec(c), vec(c), mat, vec(c), bias_spec]
+    tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x.dtype)
+    v2 = lambda a: a.reshape(1, -1)
+    args = [x, tok_arg,
+            v2(params["ln1_scale"]), v2(params["ln1_bias"]), params["wq"],
+            params["wk"], params["wv"], params["wproj"], v2(params["bproj"]),
+            v2(params["ln2_scale"]), v2(params["ln2_bias"]), params["wmlp"],
+            v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
+    if mask is not None:
+        pg = p // g
+        in_specs.append(pl.BlockSpec((g, m, n), lambda idx: (idx % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda idx: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1), x.dtype))
+    in_specs.append(colmask_spec)
+    args.append(jnp.asarray(colmask_np))
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, m, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * num_heads * m * n * dh + 12 * bp * n * c * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=bp * num_heads * m * n),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
+                 has_tokens, interpret):
+    params = dict(zip(_PARAM_KEYS, param_tuple))
+    return _forward(x, tokens if has_tokens else None, params, bias, mask,
+                    scale, num_heads, interpret)
+
+
+def _fused_block_fwd(x, tokens, param_tuple, bias, mask, scale, num_heads,
+                     has_tokens, interpret):
+    out = _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
+                       has_tokens, interpret)
+    return out, (x, tokens, param_tuple, bias, mask)
+
+
+def _fused_block_bwd(scale, num_heads, has_tokens, interpret, res, g):
+    x, tokens, param_tuple, bias, mask = res
+
+    def ref(x_, tokens_, param_tuple_, bias_, mask_):
+        params = dict(zip(_PARAM_KEYS, param_tuple_))
+        return _block_reference(x_, tokens_ if has_tokens else None, params,
+                                bias_, mask_, scale, num_heads)
+
+    _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, mask)
+    return vjp(g)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
+                     params: dict, pos_bias: jnp.ndarray,
+                     mask: Optional[jnp.ndarray], scale: float,
+                     num_heads: int, interpret: bool = False) -> jnp.ndarray:
+    """Run the full block on windowed content tokens.
+
+    Args:
+      x_win: ``[B, P, M, C]`` content window tokens (pre-LN).
+      tokens: ``[I, C]`` prompt tokens (unbatched) or None.
+      params: dict with ``ln1_scale, ln1_bias, wq, wk, wv, wproj, bproj,
+        ln2_scale, ln2_bias, wmlp, bmlp``.
+      pos_bias: ``[1, 1, H, M, N]``; mask: ``[1, P, 1, M, N]`` or None.
+
+    Returns: ``[B, P, M, C]`` block output.
+    """
+    b, p, m, c = x_win.shape
+    i = 0 if tokens is None else tokens.shape[0]
+    n = m + i
+    xf = x_win.reshape(b * p, m, c)
+    bias = pos_bias.reshape(num_heads, m, n)
+    msk = None if mask is None else mask.reshape(p, m, n)
+    param_tuple = tuple(params[k] for k in _PARAM_KEYS)
+    tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x_win.dtype)
+    out = _fused_block(xf, tok_arg, param_tuple, bias, msk, scale, num_heads,
+                       tokens is not None, interpret)
+    return out.reshape(b, p, m, c)

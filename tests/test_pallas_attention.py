@@ -194,3 +194,112 @@ def test_packed_qkv_backward():
     for gf, gr in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_fused_block_reference_matches_module():
+    """The pure-jnp fused-block reference == the unfused module path."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinTransformerBlock)
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
+        _block_reference)
+    blk = SwinTransformerBlock(
+        hidden_channels=8, window_size=(4, 4, 2), pos_bias_embed_dim=8,
+        num_heads=2, max_prompts=1, tokens_per_prompt=3,
+        use_token_params=True, shift_size=(0, 0, 0), attn_impl="xla")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 4, 2, 8))
+    p = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8))
+    p = jnp.broadcast_to(p, (2, 3, 8))
+    params = blk.init(rng, x, p)
+    want = blk.apply(params, x, p)  # unfused (CPU) path
+
+    # Rebuild via the fused-block reference math on the windowed tokens.
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows import (
+        window_partition, window_reverse)
+    pr = params["params"]
+    attn_p = pr["attn"]
+    kp = {
+        "ln1_scale": pr["attn_norm"]["scale"],
+        "ln1_bias": pr["attn_norm"]["bias"],
+        "wq": attn_p["to_q_kernel"], "wk": attn_p["to_k_kernel"],
+        "wv": attn_p["to_v_kernel"],
+        "wproj": attn_p["proj"]["kernel"], "bproj": attn_p["proj"]["bias"],
+        "ln2_scale": pr["mlp_norm"]["scale"],
+        "ln2_bias": pr["mlp_norm"]["bias"],
+        "wmlp": pr["mlp"]["kernel"], "bmlp": pr["mlp"]["bias"],
+    }
+    import flax.linen as nn
+
+    def pe_bias(mdl):
+        return mdl.pe(4, 4, 2, 3)
+
+    bias = nn.apply(pe_bias, blk)(params)[0, :, :32, :]  # [H, M, N] rows
+    xw = window_partition(x, (4, 4, 2))  # [2, 1, 32, 8]
+    out_w = _block_reference(
+        xw.reshape(2, 32, 8), p[0], kp, bias, None, (8 // 2) ** -0.5, 2)
+    got = window_reverse(out_w.reshape(2, 1, 32, 8), (4, 4, 2), (4, 4, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_fused_block_kernel_matches_reference():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
+        _block_reference, fused_swin_block)
+    b, p_, m, i, h, dh = 2, 4, 16, 4, 2, 8
+    c = h * dh
+    n = m + i
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+    x = _rand(keys[0], (b, p_, m, c))
+    tokens = _rand(keys[1], (i, c))
+    params = {
+        "ln1_scale": jnp.ones((c,)) + 0.1 * _rand(keys[2], (c,)),
+        "ln1_bias": 0.1 * _rand(keys[3], (c,)),
+        "wq": 0.3 * _rand(keys[4], (c, c)),
+        "wk": 0.3 * _rand(keys[5], (c, c)),
+        "wv": 0.3 * _rand(keys[6], (c, c)),
+        "wproj": 0.3 * _rand(keys[7], (c, c)),
+        "bproj": 0.1 * _rand(keys[8], (c,)),
+        "ln2_scale": jnp.ones((c,)) + 0.1 * _rand(keys[9], (c,)),
+        "ln2_bias": 0.1 * _rand(keys[10], (c,)),
+        "wmlp": 0.3 * _rand(keys[11], (c, c)),
+        "bmlp": 0.1 * _rand(keys[12], (c,)),
+    }
+    bias = _rand(keys[13], (1, 1, h, m, n))
+    mask = (jax.random.uniform(keys[14], (1, p_, 1, m, n)) > 0.3).astype(
+        jnp.float32)
+    scale = dh ** -0.5
+    got = fused_swin_block(x, tokens, params, bias, mask, scale, h,
+                           interpret=True)
+    want = _block_reference(
+        x.reshape(b * p_, m, c), tokens, params,
+        bias.reshape(h, m, n),
+        jnp.tile(mask.reshape(p_, m, n), (b, 1, 1)), scale, h)
+    np.testing.assert_allclose(np.asarray(got).reshape(b * p_, m, c),
+                               np.asarray(want), rtol=4e-2, atol=4e-2)
+
+
+def test_fused_block_grad_via_reference():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
+        fused_swin_block, _block_reference)
+    b, p_, m, i, h, dh = 1, 2, 8, 2, 2, 4
+    c = h * dh
+    n = m + i
+    keys = jax.random.split(jax.random.PRNGKey(5), 16)
+    x = _rand(keys[0], (b, p_, m, c))
+    tokens = _rand(keys[1], (i, c))
+    params = {k: 0.3 * _rand(kk, (c, c)) if k.startswith("w") else
+              0.1 * _rand(kk, (c,))
+              for k, kk in zip(("ln1_scale", "ln1_bias", "wq", "wk", "wv",
+                                "wproj", "bproj", "ln2_scale", "ln2_bias",
+                                "wmlp", "bmlp"), keys[2:13])}
+    bias = _rand(keys[13], (1, 1, h, m, n))
+    scale = dh ** -0.5
+
+    def loss(x_, t_):
+        out = fused_swin_block(x_, t_, params, bias, None, scale, h,
+                               interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(x, tokens)
+    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
+    assert float(jnp.abs(g[1]).sum()) > 0  # grads reach the prompt tokens
