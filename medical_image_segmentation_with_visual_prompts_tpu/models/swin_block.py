@@ -138,8 +138,13 @@ class SwinTransformerBlock(nn.Module):
             else attn_mask[:, :, :, :n_content, :]
 
         from .window_attention import _use_pallas
+        # Fused path also covers training when both dropouts are off: the
+        # kernel's custom_vjp differentiates an exactly-matching jnp
+        # reference, so gradients are correct.
+        dropout_active = (not deterministic) and (
+            self.attn_drop > 0.0 or self.proj_drop > 0.0)
         use_fused_block = (
-            deterministic and not self.is_initializing()
+            not dropout_active and not self.is_initializing()
             and self.hidden_channels <= 128
             and _use_pallas(self.attn_impl, True, self.attn_drop))
         if use_fused_block:
