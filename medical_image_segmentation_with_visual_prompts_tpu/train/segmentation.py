@@ -304,22 +304,29 @@ class SegmentationTrainer:
         test_metrics = {"iou": MeanIoU(num_classes),
                         "dcc": DiceCoefficient(num_classes)}
         metric_vals = {"iou": [], "dcc": []}
+        if getattr(conf, "test_blending", "none") == "gaussian":
+            # NEW capability (no stitching exists in the reference): fully
+            # on-device Gaussian-blended sliding-window inference; metrics
+            # are computed on the stitched volume prediction.
+            return self._test_gaussian(variables, test_metrics, metric_vals)
         for step, batch in enumerate(self.train_loader):
             x = np.asarray(batch["image"])[0]   # [H, W, D, C]
             m = np.asarray(batch["mask"])[0]
             slc, starts, window = self._window_grid(x.shape[:3])
-            x = x[slc[0], slc[1], slc[2]]
-            m = m[slc[0], slc[1], slc[2]]
-            wins_x, wins_m = [], []
-            for i0 in starts[0]:
-                for i1 in starts[1]:
-                    for i2 in starts[2]:
-                        wins_x.append(x[i0:i0 + window[0], i1:i1 + window[1],
-                                        i2:i2 + window[2]])
-                        wins_m.append(m[i0:i0 + window[0], i1:i1 + window[1],
-                                        i2:i2 + window[2]])
-            wins_x = np.stack(wins_x)
-            wins_m = np.stack(wins_m)
+            x = np.ascontiguousarray(x[slc[0], slc[1], slc[2]])
+            m = np.ascontiguousarray(m[slc[0], slc[1], slc[2]])
+            grid = np.array([(i0, i1, i2) for i0 in starts[0]
+                             for i1 in starts[1] for i2 in starts[2]],
+                            dtype=np.int64)
+            # Native strided gather when the C++ runtime is built.
+            from ..data import native
+            wins_x = native.extract_windows(x, grid, window)
+            wins_m = native.extract_windows(m, grid, window)
+            if wins_x is None or wins_m is None:
+                wins_x = np.stack([x[s0:s0 + window[0], s1:s1 + window[1],
+                                     s2:s2 + window[2]] for s0, s1, s2 in grid])
+                wins_m = np.stack([m[s0:s0 + window[0], s1:s1 + window[1],
+                                     s2:s2 + window[2]] for s0, s1, s2 in grid])
             n = wins_x.shape[0]
             for lo in range(0, n, _TEST_CHUNK):
                 chunk_x = wins_x[lo:lo + _TEST_CHUNK]
@@ -348,6 +355,62 @@ class SegmentationTrainer:
                                      tsum[:valid].sum(0))
                 test_metrics["iou"].update_stats(inter, psum, tsum)
                 test_metrics["dcc"].update_stats(inter, psum, tsum)
+            for name, metric in test_metrics.items():
+                metric_vals[name].append(metric.compute())
+                metric.reset()
+        for name, values in metric_vals.items():
+            mean = sum(values) / len(values)
+            std = (sum((v - mean) ** 2 for v in values) / len(values)) ** 0.5
+            self.logger.info(
+                f"{conf.run_name}: {name}: {mean:.4f} +/- {std:.4f}.")
+        return metric_vals
+
+    # ----------------------------------------------- gaussian-stitched test
+    def _test_gaussian(self, variables, test_metrics, metric_vals):
+        """Stitched-volume evaluation (``test_blending: gaussian``).
+
+        Uses the device-side sliding-window pipeline with Gaussian-
+        blended stitching (parallel/sliding_window.py); one compiled
+        program per distinct volume shape (cached).
+        """
+        import jax.numpy as jnp
+        from ..parallel import (make_sliding_window_fn, pad_starts,
+                                window_starts)
+        conf = self.hparams
+        model = self.model
+        num_classes = self.num_classes
+        active = tuple(conf.active_labels_downstream)
+        roi = tuple(conf.roi_size)
+        runs = {}
+
+        def apply_fn(batch):
+            return model.apply(variables, batch,
+                               deterministic=True)["downstream"]
+
+        for step, batch in enumerate(self.train_loader):
+            x = np.asarray(batch["image"])[0]
+            m = np.asarray(batch["mask"])[0]
+            slices, starts, grid_shape = window_starts(x.shape[:3], roi)
+            x = np.ascontiguousarray(x[slices[0], slices[1], slices[2]])
+            m = np.ascontiguousarray(m[slices[0], slices[1], slices[2]])
+            key = (x.shape[:3], grid_shape)
+            if key not in runs:
+                runs[key] = make_sliding_window_fn(
+                    apply_fn, roi, _TEST_CHUNK, num_classes,
+                    mode="gaussian", grid_shape=grid_shape)
+            starts_p, n_valid = pad_starts(starts, _TEST_CHUNK)
+            probs = runs[key](jnp.asarray(x), jnp.asarray(starts_p), n_valid)
+            pred = np.asarray(jnp.argmax(probs, axis=-1))
+            seg_true = np.asarray(
+                map_label_indices(jnp.asarray(m), active)).reshape(pred.shape)
+            classes = np.arange(num_classes)
+            p1 = (pred[..., None] == classes)
+            t1 = (seg_true[..., None].astype(np.int64) == classes)
+            inter = (p1 & t1).sum(axis=(0, 1, 2)).astype(np.float64)
+            psum = p1.sum(axis=(0, 1, 2)).astype(np.float64)
+            tsum = t1.sum(axis=(0, 1, 2)).astype(np.float64)
+            for metric in test_metrics.values():
+                metric.update_stats(inter, psum, tsum)
             for name, metric in test_metrics.items():
                 metric_vals[name].append(metric.compute())
                 metric.reset()

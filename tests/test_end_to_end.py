@@ -177,3 +177,13 @@ def test_supervised_all_mode_runs(dataset, tmp_path, monkeypatch):
     trainer.train()
     scalars = (conf.summary_dir / "scalars.jsonl").read_text()
     assert "train_loss/seg" in scalars and "train_metric/seg" in scalars
+
+
+def test_gaussian_blended_test_mode(dataset, tmp_path, monkeypatch):
+    # New capability: test with on-device Gaussian-stitched inference.
+    conf = _conf(dataset, tmp_path, monkeypatch, "test", "downstream")
+    conf.test_blending = "gaussian"
+    tester = cli.setup_testing(conf)
+    vals = tester.test()
+    assert len(vals["iou"]) == 3
+    assert all(0.0 <= v <= 1.0 for v in vals["iou"] + vals["dcc"])
