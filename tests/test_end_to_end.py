@@ -221,3 +221,34 @@ def test_downstream_training_converges(tmp_path, monkeypatch):
     metric = [s["value"] for s in scalars if s["tag"] == "train_metric/seg"]
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
     assert metric[-1] > 0.5, metric  # well above the ~0.25 chance level
+
+
+def test_infer_cli_segments_volume(dataset, tmp_path, monkeypatch):
+    # Train one downstream epoch, save a prompt checkpoint, then run the
+    # inference CLI on a NIfTI volume and check the written labels.
+    conf = _conf(dataset, tmp_path, monkeypatch, "fit", "downstream",
+                 use_decoder_prompting=True, save_ckpt_prompt_tokens=True)
+    conf.save_ckpt_prompt_tokens_path = tmp_path / "ckpts" / "pt"
+    cli.setup_fitting(conf).train()
+    ckpt = sorted(Path(conf.save_ckpt_prompt_tokens_path).glob("*.ckpt"))[0]
+
+    import subprocess, sys, os
+    inp = sorted((dataset / "img").glob("*.nii.gz"))[0]
+    out = tmp_path / "seg.nii.gz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "medical_image_segmentation_with_visual_prompts_tpu.infer",
+         "--configs", str(TINY_YML), "--ckpt", str(ckpt),
+         "--use-decoder-prompting",
+         "--input", str(inp), "--output", str(out)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from medical_image_segmentation_with_visual_prompts_tpu.data import \
+        load_nifti
+    seg, _ = load_nifti(out)
+    assert seg.shape == (24, 24, 12)
+    assert set(np.unique(seg)) <= {0, 1}
