@@ -28,7 +28,7 @@ import random
 import threading
 from collections import deque as collections_deque
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import numpy as np
 

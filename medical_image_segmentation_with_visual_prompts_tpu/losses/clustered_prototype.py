@@ -36,7 +36,7 @@ Layout: embeddings ``[B, H, W, D, C]`` channels-last; coordinate grids
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

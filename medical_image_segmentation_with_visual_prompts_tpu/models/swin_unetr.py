@@ -30,7 +30,7 @@ Layout: channels-last ``[B, H, W, D, C]`` (TPU lane dim = channels).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ Bit-equivalent to ``lax.conv`` with SAME-style padding (zero edges).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .window_attention_pallas import _VMEM_BUDGET, _pick_group_packed
+from .window_attention_pallas import _pick_group_packed
 
 _EPS = 1e-6
 

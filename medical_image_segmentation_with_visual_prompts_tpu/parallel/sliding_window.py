@@ -23,7 +23,6 @@ are masked from the metrics.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

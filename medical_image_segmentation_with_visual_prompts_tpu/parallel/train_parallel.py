@@ -11,13 +11,9 @@ sliding-window serving" target config (BASELINE.md).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..losses import dice_focal_loss
 from ..models import partition

@@ -17,7 +17,7 @@ Trainer design (TPU-first, vs the reference's imperative torch loops):
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, Mapping, Set, Tuple
+from typing import Callable, Dict, Iterable, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

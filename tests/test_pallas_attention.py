@@ -303,3 +303,25 @@ def test_fused_block_grad_via_reference():
     g = jax.grad(loss, argnums=(0, 1))(x, tokens)
     assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
     assert float(jnp.abs(g[1]).sum()) > 0  # grads reach the prompt tokens
+
+
+def test_fused_block_kernel_no_tokens():
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
+        _block_reference, fused_swin_block)
+    b, p_, m, h, dh = 1, 2, 16, 2, 8
+    c = h * dh
+    keys = jax.random.split(jax.random.PRNGKey(9), 14)
+    x = _rand(keys[0], (b, p_, m, c))
+    params = {k: 0.3 * _rand(kk, (c, c)) if k.startswith("w") else
+              0.1 * _rand(kk, (c,))
+              for k, kk in zip(("ln1_scale", "ln1_bias", "wq", "wk", "wv",
+                                "wproj", "bproj", "ln2_scale", "ln2_bias",
+                                "wmlp", "bmlp"), keys[1:12])}
+    bias = _rand(keys[12], (1, 1, h, m, m))
+    scale = dh ** -0.5
+    got = fused_swin_block(x, None, params, bias, None, scale, h,
+                           interpret=True)
+    want = _block_reference(x.reshape(b * p_, m, c), None, params,
+                            bias.reshape(h, m, m), None, scale, h)
+    np.testing.assert_allclose(np.asarray(got).reshape(b * p_, m, c),
+                               np.asarray(want), rtol=4e-2, atol=4e-2)
