@@ -206,3 +206,26 @@ def test_gaussian_stitch_matches_bruteforce():
         wacc[s[0]:s[0]+8, s[1]:s[1]+8, s[2]:s[2]+4] += gauss
     want = acc / np.maximum(wacc, 1e-8)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ema_update_under_dp_mesh():
+    """EMA teacher blending stays correct and replicated across the mesh
+    (SURVEY.md §4 'EMA under DP')."""
+    from medical_image_segmentation_with_visual_prompts_tpu.train.common import \
+        ema_update
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    student = {"a": jnp.asarray(rng.normal(size=(4, 4)), jnp.float32),
+               "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)}
+    teacher = {"a": jnp.zeros((4, 4)), "b": jnp.ones((3,))}
+    student_r = replicate(mesh, student)
+    teacher_r = replicate(mesh, teacher)
+    blended = jax.jit(lambda t, s: ema_update(t, s, 0.99))(teacher_r,
+                                                           student_r)
+    want = jax.tree_util.tree_map(lambda t, s: 0.99 * t + 0.01 * s,
+                                  teacher, student)
+    for k in ("a", "b"):
+        np.testing.assert_allclose(np.asarray(blended[k]),
+                                   np.asarray(want[k]), rtol=1e-6)
+        # Fully replicated output (one shard spans all devices' data).
+        assert blended[k].sharding.is_fully_replicated
