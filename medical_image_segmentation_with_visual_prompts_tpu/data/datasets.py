@@ -65,16 +65,28 @@ def _scan_images(image_dir, image_key="image"):
             for p in sorted(Path(image_dir).iterdir())]
 
 
-def _subsample(data: List[Dict], k: int) -> List[Dict]:
+def _rng_of(conf) -> random.Random:
+    """Data-selection RNG: seeded when the config carries a ``seed`` so
+    subsample/split are reproducible (the reference uses the unseeded
+    global ``random`` module — utils.py:19,67,114; the ``seed`` config
+    key is a new capability of this framework)."""
+    seed = getattr(conf, "seed", None)
+    if seed is None:
+        return random  # type: ignore[return-value]
+    return random.Random(int(seed))
+
+
+def _subsample(data: List[Dict], k: int, rng=random) -> List[Dict]:
     if k != -1:
         # random.choices — WITH replacement, as the reference does.
-        data = random.choices(data, k=k)
+        data = rng.choices(data, k=k)
         print(f"Selected {len(data)} samples.")
     return data
 
 
-def _split(data: List[Dict], split_ratio: float, downstream: bool = False):
-    random.shuffle(data)
+def _split(data: List[Dict], split_ratio: float, downstream: bool = False,
+           rng=random):
+    rng.shuffle(data)
     if downstream:
         if len(data) < 2:
             raise ValueError("Not enough samples for downstream task.")
@@ -86,20 +98,35 @@ def _split(data: List[Dict], split_ratio: float, downstream: bool = False):
 
 
 class Dataset:
-    """Transform-on-access dataset: items are dicts of file paths."""
+    """Transform-on-access dataset: items are dicts of file paths.
 
-    def __init__(self, data: List[Dict], transform: Callable, seed: int = 0):
+    With ``seed=None`` (parity with the reference's unseeded pipeline)
+    per-item transform randomness is salted from the global ``random``
+    module; with an integer seed the stream is fully deterministic per
+    (seed, epoch, idx) — the loader advances ``epoch`` each iteration so
+    crops still vary across epochs.
+    """
+
+    def __init__(self, data: List[Dict], transform: Callable,
+                 seed: int = None):
         self.data = data
         self.transform = transform
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.data)
 
     def __getitem__(self, idx: int) -> List[Dict]:
         """Returns a LIST of samples (crop samples per volume)."""
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, idx, random.getrandbits(31)]))
+        if self.seed is None:
+            entropy = [0, idx, random.getrandbits(31)]
+        else:
+            entropy = [int(self.seed), self.epoch, idx]
+        rng = np.random.default_rng(np.random.SeedSequence(entropy))
         out = self.transform(self.data[idx], rng)
         return out if isinstance(out, list) else [out]
 
@@ -109,18 +136,23 @@ class DataLoader:
 
     def __init__(self, dataset: Dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 2, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, samples_per_item: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(num_workers, 1)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.samples_per_item = max(samples_per_item, 1)
 
     def __len__(self):
-        # Number of batches is data-dependent (num_samples per volume);
-        # approximate with one pass definition used only for logging.
-        return len(self.dataset)
+        """True batch count per epoch (each dataset item yields
+        ``samples_per_item`` crop samples; the producer re-batches the
+        flattened sample stream)."""
+        total = len(self.dataset) * self.samples_per_item
+        if self.drop_last:
+            return total // self.batch_size
+        return math.ceil(total / self.batch_size)
 
     def _produce(self, order, q):
         """Transform items in a worker pool; emit batches in order."""
@@ -154,9 +186,14 @@ class DataLoader:
             q.put(None)
 
     def __iter__(self):
+        self.dataset.set_epoch(self.dataset.epoch + 1)
         order = list(range(len(self.dataset)))
         if self.shuffle:
-            random.shuffle(order)
+            if self.dataset.seed is None:
+                random.shuffle(order)
+            else:
+                random.Random((int(self.dataset.seed) << 20)
+                              + self.dataset.epoch).shuffle(order)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=self._produce, args=(order, q),
                              daemon=True)
@@ -184,40 +221,47 @@ def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 # ------------------------------------------------------ loader factories
 
 def get_fit_loader_self_supervised_learning(conf):
+    rng = _rng_of(conf)
     data = _subsample(_scan_images(conf.image_dir_pretrain,
                                    conf.image_dict_key),
-                      conf.num_selected_data_pretrain)
-    train_data, val_data = _split(data, conf.split_ratio)
+                      conf.num_selected_data_pretrain, rng)
+    train_data, val_data = _split(data, conf.split_ratio, rng=rng)
     tf = lambda item, rng: T.transform_pretrain_fit(item, conf, rng)
     bs = batch_size_of(conf)
-    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
-                              num_workers=conf.num_workers, drop_last=True)
+    mk = lambda d: DataLoader(Dataset(d, tf, seed=getattr(conf, 'seed', None)), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=True,
+                              samples_per_item=num_samples_of(conf))
     return mk(train_data), mk(val_data)
 
 
 def get_fit_loader_supervised_learning(conf):
+    rng = _rng_of(conf)
     data = _subsample(_scan_pairs(conf.image_dir_supervised,
                                   conf.mask_dir_supervised,
                                   conf.image_dict_key, conf.mask_dict_key),
-                      conf.num_selected_data_supervised)
-    train_data, val_data = _split(data, conf.split_ratio)
+                      conf.num_selected_data_supervised, rng)
+    train_data, val_data = _split(data, conf.split_ratio, rng=rng)
     tf = lambda item, rng: T.transform_pretrain_fit(item, conf, rng)
     bs = batch_size_of(conf)
-    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
-                              num_workers=conf.num_workers, drop_last=True)
+    mk = lambda d: DataLoader(Dataset(d, tf, seed=getattr(conf, 'seed', None)), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=True,
+                              samples_per_item=num_samples_of(conf))
     return mk(train_data), mk(val_data)
 
 
 def get_fit_loader_downstream(conf):
+    rng = _rng_of(conf)
     data = _subsample(_scan_pairs(conf.image_dir_downstream,
                                   conf.mask_dir_downstream,
                                   conf.image_dict_key, conf.mask_dict_key),
-                      conf.num_selected_data_downstream)
-    train_data, val_data = _split(data, conf.split_ratio, downstream=True)
+                      conf.num_selected_data_downstream, rng)
+    train_data, val_data = _split(data, conf.split_ratio, downstream=True,
+                                  rng=rng)
     tf = lambda item, rng: T.transform_downstream_fit(item, conf, rng)
     bs = batch_size_of(conf)
-    mk = lambda d: DataLoader(Dataset(d, tf), bs, shuffle=True,
-                              num_workers=conf.num_workers, drop_last=False)
+    mk = lambda d: DataLoader(Dataset(d, tf, seed=getattr(conf, 'seed', None)), bs, shuffle=True,
+                              num_workers=conf.num_workers, drop_last=False,
+                              samples_per_item=num_samples_of(conf))
     return mk(train_data), mk(val_data)
 
 
@@ -225,5 +269,6 @@ def get_test_loader_downstream(conf):
     data = _scan_pairs(conf.image_dir_test, conf.mask_dir_test,
                        conf.image_dict_key, conf.mask_dict_key)
     tf = lambda item, rng: T.transform_downstream_test(item, conf)
-    return DataLoader(Dataset(data, tf), batch_size=1, shuffle=False,
+    return DataLoader(Dataset(data, tf, seed=getattr(conf, 'seed', None)),
+                      batch_size=1, shuffle=False,
                       num_workers=conf.num_workers, drop_last=False)

@@ -92,7 +92,8 @@ def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
 
 def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                            num_classes: int, mode: str = "gaussian",
-                           grid_shape: Sequence[int] = None):
+                           grid_shape: Sequence[int] = None,
+                           mesh=None):
     """Build a jitted volume → prediction/stats function.
 
     Args:
@@ -110,9 +111,24 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
     The returned fn takes (volume [H', W', D', C_in] already center-
     cropped, starts [N, 3] int32) with N padded to a multiple of
     ``chunk`` (pad starts with 0 and pass ``n_valid``).
+
+    With ``mesh`` (a 1-D ``data`` mesh), each chunk's window batch is
+    sharded across the mesh inside the program — batched prompt-
+    conditioned sliding-window SERVING over the mesh (``chunk`` must be
+    a multiple of the mesh size); the stitched volume stays replicated.
     """
     wh, ww, wd = window
     gauss = jnp.asarray(_gaussian_importance(window))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if chunk % mesh.devices.size:
+            raise ValueError(
+                f"chunk {chunk} not divisible by mesh size "
+                f"{mesh.devices.size}")
+        batch_sh = NamedSharding(mesh, P("data"))
+        shard_chunk = lambda t: jax.lax.with_sharding_constraint(t, batch_sh)
+    else:
+        shard_chunk = lambda t: t
 
     @jax.jit
     def run(volume, starts, n_valid):
@@ -131,7 +147,7 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
             def body(_, idx):
                 s_chunk = jax.lax.dynamic_slice(starts, (idx * chunk, 0),
                                                 (chunk, 3))
-                batch = jax.vmap(gather_window)(s_chunk)
+                batch = shard_chunk(jax.vmap(gather_window)(s_chunk))
                 probs = jax.nn.softmax(apply_fn(batch), axis=-1)
                 valid = (idx * chunk + jnp.arange(chunk)) < n_valid
                 w = gauss[..., None] * valid[:, None, None, None, None]
@@ -153,7 +169,7 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
         def body(_, idx):
             s_chunk = jax.lax.dynamic_slice(starts, (idx * chunk, 0),
                                             (chunk, 3))
-            batch = jax.vmap(gather_window)(s_chunk)
+            batch = shard_chunk(jax.vmap(gather_window)(s_chunk))
             pred = jnp.argmax(apply_fn(batch), axis=-1)
             return None, pred
 

@@ -76,6 +76,82 @@ def scalar(x) -> float:
     return float(jax.device_get(x))
 
 
+class DeviceCtx:
+    """Execution context: single device, or data-parallel over a mesh.
+
+    Honors the ``mesh_data`` config key (NEW capability — the reference
+    is single-device, SURVEY.md §2 parallelism table): ``mesh_data: N``
+    builds an N-device 1-D ``data`` mesh (``-1`` = all local devices);
+    0/1/absent runs single-device.  Trainers build their jitted steps
+    through :meth:`jit` (batch args sharded on axis 0, everything else
+    replicated — XLA inserts the gradient all-reduce over ICI) and stage
+    host batches through :meth:`stage`.
+    """
+
+    def __init__(self, hparams, logger=None):
+        self.mesh = None
+        self.logger = logger
+        self._warned_pad = False
+        n = int(getattr(hparams, "mesh_data", 0) or 0)
+        if n == -1 or n > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(n)
+            if logger is not None:
+                logger.info(
+                    f"Data-parallel mesh: {self.mesh.devices.size} devices "
+                    f"on axis 'data'.")
+
+    @property
+    def n_devices(self) -> int:
+        return 1 if self.mesh is None else int(self.mesh.devices.size)
+
+    def round_batch(self, batch_size: int) -> int:
+        """Smallest multiple of the mesh size >= batch_size."""
+        n = self.n_devices
+        return -(-batch_size // n) * n
+
+    def jit(self, fn, n_args: int, data_argnums=()):
+        """jax.jit with DP shardings: ``data_argnums`` sharded on axis 0
+        over the ``data`` mesh axis, all other args replicated.  A dict
+        arg position shards every leaf in the subtree."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        shardings = tuple(data if i in data_argnums else rep
+                          for i in range(n_args))
+        return jax.jit(fn, in_shardings=shardings)
+
+    def stage(self, batch: Dict, exclude: Tuple[str, ...] = ("name",)
+              ) -> Dict:
+        """Move a host batch to device(s); under a mesh, axis 0 is
+        sharded across ``data``, padded (wrap-around) to a multiple of
+        the mesh size when the loader emits a partial batch."""
+        if self.mesh is None:
+            return to_device(batch, exclude)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data = NamedSharding(self.mesh, P("data"))
+        n = self.n_devices
+        out = {}
+        for k, v in batch.items():
+            if k in exclude or not hasattr(v, "shape"):
+                out[k] = v
+                continue
+            b = v.shape[0]
+            pad = (-b) % n
+            if pad:
+                if not self._warned_pad and self.logger is not None:
+                    self.logger.info(
+                        f"Padding partial batch of {b} to {b + pad} for "
+                        f"the {n}-device mesh (wrap-around samples).")
+                    self._warned_pad = True
+                reps = int(np.ceil((b + pad) / b))
+                v = np.concatenate([np.asarray(v)] * reps)[:b + pad]
+            out[k] = jax.device_put(jnp.asarray(v), data)
+        return out
+
+
 class StepProfiler:
     """Per-step timing + optional jax.profiler trace capture.
 

@@ -33,8 +33,8 @@ from ..ops.augment import permute_inverse, random_mask, random_permute, \
     random_rotate
 from ..utils import load_checkpoint, restore_like, save_checkpoint, \
     warmup_cosine
-from .common import AvgLosses, StepProfiler, adamw, count_params, \
-    make_grouped_optimizer, to_device
+from .common import AvgLosses, DeviceCtx, StepProfiler, adamw, \
+    count_params, make_grouped_optimizer, to_device
 
 
 class MultiViewTrainer:
@@ -48,6 +48,9 @@ class MultiViewTrainer:
         self.logger = logger
         self.writer = writer
         self.rng = jax.random.PRNGKey(getattr(hparams, "seed", 0))
+        # Data-parallel context (config `mesh_data`; single device when
+        # absent) — batches sharded on axis 0, params replicated.
+        self.dctx = DeviceCtx(hparams, logger)
         self.loss_names = [n for n, used in (
             ("rec", hparams.use_reconstruction),
             ("rot", hparams.use_rotation_prediction),
@@ -156,7 +159,6 @@ class MultiViewTrainer:
             return total, (parts, new_bs, view_data)
 
         if train:
-            @jax.jit
             def step(tr, batch_stats, opt_state, image, rng):
                 (_, (parts, new_bs, view_data)), grads = jax.value_and_grad(
                     losses_of, has_aux=True)(tr, batch_stats, image, rng,
@@ -164,13 +166,12 @@ class MultiViewTrainer:
                 updates, new_opt = tx.update(grads, opt_state, tr)
                 new_tr = optax.apply_updates(tr, updates)
                 return new_tr, new_bs, new_opt, parts, view_data
-            return step
+            return self.dctx.jit(step, n_args=5, data_argnums=(3,))
 
-        @jax.jit
         def val_step(tr, batch_stats, image, rng):
             _, (parts, _, _) = losses_of(tr, batch_stats, image, rng, True)
             return parts
-        return val_step
+        return self.dctx.jit(val_step, n_args=4, data_argnums=(2,))
 
     def train(self):
         self.self_supervised_learning()
@@ -230,7 +231,7 @@ class MultiViewTrainer:
 
         for epoch in range(start_epoch, conf.max_epochs_multi_view + 1):
             for step, batch in enumerate(self.train_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 self.rng, k = jax.random.split(self.rng)
                 profiler.step_begin(global_step)
                 (trainable, batch_stats, opt_state, parts,
@@ -276,7 +277,7 @@ class MultiViewTrainer:
                 self.logger.info(f"Saved checkpoint for epoch {epoch:04d}.")
             # Validation (ref :231-327).
             for step, batch in enumerate(self.val_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 self.rng, k = jax.random.split(self.rng)
                 parts = pick_val()(trainable, batch_stats, batch["image"], k)
                 for name in self.loss_names:

@@ -44,8 +44,8 @@ from ..ops.augment import map_label_indices
 from ..utils import (DiceCoefficient, MeanIoU, load_checkpoint, merge_state,
                      restore_like, save_checkpoint, step_decay)
 from ..utils.metrics import seg_stats
-from .common import AvgLosses, StepProfiler, adamw, count_params, \
-    scalar, to_device
+from .common import AvgLosses, DeviceCtx, StepProfiler, adamw, \
+    count_params, scalar, to_device
 
 _TEST_CHUNK = 10  # hardcoded window batch size (reference :255)
 
@@ -62,6 +62,9 @@ class SegmentationTrainer:
         self.writer = writer
         self.num_classes = hparams.output_channels_downstream
         self.rng = jax.random.PRNGKey(getattr(hparams, "seed", 0))
+        # Data-parallel context (config `mesh_data`; single device when
+        # absent) — batches sharded on axis 0, params replicated.
+        self.dctx = DeviceCtx(hparams, logger)
 
     # -------------------------------------------------------------- setup
     def _init_variables(self, input_size):
@@ -93,7 +96,6 @@ class SegmentationTrainer:
         active = tuple(conf.active_labels_downstream)
         include_bg = conf.include_background
 
-        @jax.jit
         def train_step(trainable, batch_stats, opt_state, image, mask, rng):
             seg_true = map_label_indices(mask, active)
 
@@ -117,7 +119,6 @@ class SegmentationTrainer:
                 return new_tr, new_bs, new_opt, loss, stats, (pred, seg_true)
             return new_tr, new_bs, new_opt, loss, stats, None
 
-        @jax.jit
         def eval_step(trainable, batch_stats, image, mask):
             seg_true = map_label_indices(mask, active)
             params = partition.merge_params(trainable, frozen)
@@ -127,7 +128,8 @@ class SegmentationTrainer:
                                    include_background=include_bg)
             return loss, seg_stats(out["downstream"], seg_true, num_classes)
 
-        return train_step, eval_step
+        return (self.dctx.jit(train_step, n_args=6, data_argnums=(3, 4)),
+                self.dctx.jit(eval_step, n_args=4, data_argnums=(2, 3)))
 
     # --------------------------------------------------------------- train
     def train(self):
@@ -180,7 +182,7 @@ class SegmentationTrainer:
             lr = schedule(epoch)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
             for step, batch in enumerate(self.train_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 self.rng, k = jax.random.split(self.rng)
                 profiler.step_begin(global_step)
                 (trainable, batch_stats, opt_state, loss, stats,
@@ -231,7 +233,7 @@ class SegmentationTrainer:
             if self.val_loader is None:
                 continue
             for step, batch in enumerate(self.val_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 loss, stats = eval_step(trainable, batch_stats,
                                         batch["image"], batch["mask"])
                 avg_val.append("seg", loss)
@@ -286,8 +288,12 @@ class SegmentationTrainer:
         model = self.model
         num_classes = self.num_classes
         active = tuple(conf.active_labels_downstream)
+        # Batched prompt-conditioned sliding-window serving: under a
+        # `mesh_data` mesh the window chunk is sharded across devices
+        # (chunk rounded up to a mesh multiple; padded windows are
+        # excluded from the metrics as before).
+        chunk = self.dctx.round_batch(_TEST_CHUNK)
 
-        @jax.jit
         def window_stats(image, mask):
             """Per-window per-class (I, P, T) stats: [N, C] each."""
             seg_true = map_label_indices(mask, active)
@@ -300,6 +306,9 @@ class SegmentationTrainer:
             axes = (1, 2, 3)
             return (jnp.sum(p1 * t1, axis=axes), jnp.sum(p1, axis=axes),
                     jnp.sum(t1, axis=axes))
+
+        window_stats = self.dctx.jit(window_stats, n_args=2,
+                                     data_argnums=(0, 1))
 
         test_metrics = {"iou": MeanIoU(num_classes),
                         "dcc": DiceCoefficient(num_classes)}
@@ -328,12 +337,12 @@ class SegmentationTrainer:
                 wins_m = np.stack([m[s0:s0 + window[0], s1:s1 + window[1],
                                      s2:s2 + window[2]] for s0, s1, s2 in grid])
             n = wins_x.shape[0]
-            for lo in range(0, n, _TEST_CHUNK):
-                chunk_x = wins_x[lo:lo + _TEST_CHUNK]
-                chunk_m = wins_m[lo:lo + _TEST_CHUNK]
+            for lo in range(0, n, chunk):
+                chunk_x = wins_x[lo:lo + chunk]
+                chunk_m = wins_m[lo:lo + chunk]
                 valid = chunk_x.shape[0]
-                if valid < _TEST_CHUNK:  # pad to the fixed program shape
-                    pad = _TEST_CHUNK - valid
+                if valid < chunk:  # pad to the fixed program shape
+                    pad = chunk - valid
                     chunk_x = np.concatenate(
                         [chunk_x, np.zeros((pad,) + chunk_x.shape[1:],
                                            chunk_x.dtype)])
@@ -381,6 +390,7 @@ class SegmentationTrainer:
         num_classes = self.num_classes
         active = tuple(conf.active_labels_downstream)
         roi = tuple(conf.roi_size)
+        chunk = self.dctx.round_batch(_TEST_CHUNK)
         runs = {}
 
         def apply_fn(batch):
@@ -396,9 +406,10 @@ class SegmentationTrainer:
             key = (x.shape[:3], grid_shape)
             if key not in runs:
                 runs[key] = make_sliding_window_fn(
-                    apply_fn, roi, _TEST_CHUNK, num_classes,
-                    mode="gaussian", grid_shape=grid_shape)
-            starts_p, n_valid = pad_starts(starts, _TEST_CHUNK)
+                    apply_fn, roi, chunk, num_classes,
+                    mode="gaussian", grid_shape=grid_shape,
+                    mesh=self.dctx.mesh)
+            starts_p, n_valid = pad_starts(starts, chunk)
             probs = runs[key](jnp.asarray(x), jnp.asarray(starts_p), n_valid)
             pred = np.asarray(jnp.argmax(probs, axis=-1))
             seg_true = np.asarray(

@@ -39,8 +39,8 @@ from ..ops.augment import map_label_indices
 from ..utils import MeanIoU, load_checkpoint, restore_like, save_checkpoint, \
     warmup_cosine
 from ..utils.metrics import seg_stats
-from .common import AvgLosses, StepProfiler, adamw, count_params, \
-    ema_update, make_grouped_optimizer, to_device
+from .common import AvgLosses, DeviceCtx, StepProfiler, adamw, \
+    count_params, ema_update, make_grouped_optimizer, to_device
 
 _SUPERVISED = ("supervised_learning_decoder", "supervised_learning_all")
 _ALL_MODES = ("self_supervised_learning_all", "supervised_learning_all")
@@ -58,6 +58,9 @@ class StudentsTeacherTrainer:
         self.writer = writer
         self.n_students = len(hparams.crop_size_students)
         self.rng = jax.random.PRNGKey(getattr(hparams, "seed", 0))
+        # Data-parallel context (config `mesh_data`; single device when
+        # absent) — batches sharded on axis 0, params replicated.
+        self.dctx = DeviceCtx(hparams, logger)
         self.supervised = (hparams.training_mode in _SUPERVISED
                            and hparams.use_real_label)
         self.loss_names = []
@@ -161,7 +164,6 @@ class StudentsTeacherTrainer:
             return total, (parts, bs, new_teacher_bs, stats, view_data)
 
         if train:
-            @jax.jit
             def step(tr, student_bs, teacher_params, teacher_bs, opt_state,
                      batch, rng):
                 # EMA update FIRST (ref :158-159).
@@ -175,15 +177,14 @@ class StudentsTeacherTrainer:
                 new_tr = optax.apply_updates(tr, updates)
                 return (new_tr, new_bs, new_teacher, new_tbs, new_opt, parts,
                         stats, view_data)
-            return step
+            return self.dctx.jit(step, n_args=7, data_argnums=(5,))
 
-        @jax.jit
         def val_step(tr, student_bs, teacher_params, teacher_bs, batch, rng):
             _, (parts, _, _, stats, _) = losses_of(
                 tr, frozen, student_bs, teacher_params, teacher_bs, batch,
                 rng, True)
             return parts, stats
-        return val_step
+        return self.dctx.jit(val_step, n_args=6, data_argnums=(4,))
 
     # --------------------------------------------------------------- train
     def train(self):
@@ -265,7 +266,7 @@ class StudentsTeacherTrainer:
         for epoch in range(start_epoch,
                            conf.max_epochs_students_teacher + 1):
             for step, batch in enumerate(self.train_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 dev_batch = {k: batch[k] for k in batch_keys}
                 self.rng, k = jax.random.split(self.rng)
                 profiler.step_begin(global_step)
@@ -324,7 +325,7 @@ class StudentsTeacherTrainer:
                 self.logger.info(f"Saved checkpoint for epoch {epoch:04d}.")
             # Validation (ref :246-311).
             for step, batch in enumerate(self.val_loader):
-                batch = to_device(batch)
+                batch = self.dctx.stage(batch)
                 dev_batch = {k: batch[k] for k in batch_keys}
                 self.rng, k = jax.random.split(self.rng)
                 parts, stats = val_step(trainable, student_bs, teacher_params,

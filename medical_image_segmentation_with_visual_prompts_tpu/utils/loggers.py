@@ -54,16 +54,15 @@ class SummaryWriter:
         self.summary_dir = Path(summary_dir)
         self.summary_dir.mkdir(exist_ok=True, parents=True)
         self._file = open(self.summary_dir / "scalars.jsonl", "a")
+        # TensorBoard event emission is ON by default, matching the
+        # reference's observability surface (loggers.py:28-30) — via the
+        # dependency-free writer in tb_events.py (the torch TB stack
+        # costs ~25s to import; this one is pure stdlib).  Disable with
+        # MIVP_TENSORBOARD=0.
         self._tb = None
-        # Optional TensorBoard backend — opt-in via MIVP_TENSORBOARD=1
-        # because importing it (through torch's TF stack) costs ~25s of
-        # startup; the JSONL sink is always on.
-        if os.environ.get("MIVP_TENSORBOARD", "0") == "1":
-            try:
-                from torch.utils.tensorboard import SummaryWriter as _TB
-                self._tb = _TB(str(self.summary_dir))
-            except Exception:
-                self._tb = None
+        if os.environ.get("MIVP_TENSORBOARD", "1") != "0":
+            from .tb_events import EventWriter
+            self._tb = EventWriter(self.summary_dir)
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._file.write(json.dumps({
