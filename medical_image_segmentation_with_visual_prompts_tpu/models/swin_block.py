@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,12 +85,146 @@ class SwinTransformerBlock(nn.Module):
                 shift[i] = 0
         return tuple(shift)
 
+    def _block_params(self) -> dict:
+        """Raw param views for the fused block kernel."""
+        attn_params = self.attn.variables["params"]
+        ln1 = self.attn_norm.variables["params"]
+        ln2 = self.mlp_norm.variables["params"]
+        mlp = self.mlp.variables["params"]
+        return {
+            "ln1_scale": ln1["scale"], "ln1_bias": ln1["bias"],
+            "wq": attn_params["to_q_kernel"],
+            "wk": attn_params["to_k_kernel"],
+            "wv": attn_params["to_v_kernel"],
+            "wproj": attn_params["proj"]["kernel"],
+            "bproj": attn_params["proj"]["bias"],
+            "ln2_scale": ln2["scale"], "ln2_bias": ln2["bias"],
+            "wmlp": mlp["kernel"], "bmlp": mlp["bias"],
+        }
+
+    def _forward_folded(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
+                        window_size, shift_size, paddings,
+                        fold_axes) -> jnp.ndarray:
+        """Fused-block forward with pad-folding on ``fold_axes``.
+
+        Axes whose feature extent is smaller than the window are NOT
+        materially padded; the identical pad tokens of every window are
+        folded into one virtual key column (exact algebra in
+        ops/fused_block.py).  Everything the reference's padded
+        computation observes — the interior-relabel-100 mask quirk, the
+        multiplicative exp(0) contribution of masked pads, the
+        positional-bias columns of unmasked pads — is reproduced via the
+        assembled bias/mask below.
+        """
+        from ..ops.fused_block import FOLD_COUNT, FOLD_KEY, fused_swin_block
+        b, h, w, d, c = x.shape
+        dims = (h, w, d)
+        n_tokens = 0 if p is None else p.shape[1]
+        # Effective (content) window and the content-token index set
+        # within the full window's (ih, iw, id) row-major ordering.
+        wc = tuple(dims[i] if i in fold_axes else window_size[i]
+                   for i in range(3))
+        keep = []
+        for i in range(3):
+            if i in fold_axes:
+                lo = paddings[2 * i]
+                keep.append(np.arange(lo, lo + dims[i]))
+            else:
+                keep.append(np.arange(window_size[i]))
+        grid = np.zeros(tuple(window_size), dtype=bool)
+        grid[np.ix_(keep[0], keep[1], keep[2])] = True
+        ci = np.where(grid.reshape(-1))[0]          # content token indices
+        m_c = int(ci.size)
+        n_full = int(np.prod(window_size))
+        n_pad = n_full - m_c
+
+        # Pad/roll only the non-folded axes (folded axes have shift 0 by
+        # the adaptive-shift rule and are never materially padded).
+        pads_eff = tuple(0 if (i // 2) in fold_axes else paddings[i]
+                         for i in range(6))
+        if any(pp > 0 for pp in pads_eff):
+            x = jnp.pad(x, ((0, 0), (pads_eff[0], pads_eff[1]),
+                            (pads_eff[2], pads_eff[3]),
+                            (pads_eff[4], pads_eff[5]), (0, 0)))
+        hp, wp, dp = x.shape[1:4]
+        padded_full = tuple(dims[i] + paddings[2 * i] + paddings[2 * i + 1]
+                            for i in range(3))
+
+        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
+                           n_tokens)[0]             # [heads, N, N]
+        bias_rows = jnp.take(pos_bias, ci, axis=1)   # [H, Mc, N]
+        bias_cc = jnp.take(bias_rows, ci, axis=2)    # [H, Mc, Mc]
+        bias_cp = bias_rows[:, :, n_full:]           # [H, Mc, I]
+
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x = jnp.roll(x, shift=tuple(-s for s in shift_size),
+                         axis=(1, 2, 3))
+            # Masked pad columns each contribute exp(0): fold into one
+            # unmasked column with zero key and bias ln(n_pad).
+            fold_col = jnp.full((pos_bias.shape[0], m_c, 1),
+                                float(np.log(n_pad)), pos_bias.dtype)
+            full_mask = get_attn_mask(padded_full, tuple(window_size),
+                                      tuple(shift_size),
+                                      tuple(paddings))   # numpy [P, N, N]
+            mask_c = full_mask[:, ci][:, :, ci]
+            pwin = mask_c.shape[0]
+            assembled_mask = np.concatenate(
+                [mask_c, np.ones((pwin, m_c, 1 + n_tokens), np.float32)],
+                axis=-1)
+            mask = jnp.asarray(assembled_mask)[None, :, None]
+            fold_mode = FOLD_COUNT
+        else:
+            # Unmasked pad columns share one key; fold their positional
+            # biases by logsumexp.
+            pi = np.setdiff1d(np.arange(n_full), ci)
+            bias_pads = jnp.take(bias_rows, pi, axis=2)
+            fold_col = jax.nn.logsumexp(bias_pads, axis=-1, keepdims=True)
+            mask = None
+            fold_mode = FOLD_KEY
+        bias = jnp.concatenate([bias_cc, fold_col, bias_cp], axis=-1)
+        bias = bias[None, None]                     # [1, 1, H, Mc, N']
+
+        x_win = window_partition(x, wc)             # [B, P, Mc, C]
+        head_dim = self.hidden_channels // self.num_heads
+        x_win = fused_swin_block(
+            x_win, p[0] if p is not None else None, self._block_params(),
+            bias, mask, head_dim ** -0.5, self.num_heads,
+            fold_mode=fold_mode)
+        x = window_reverse(x_win, wc, (hp, wp, dp))
+        if shifted:
+            x = jnp.roll(x, shift=tuple(shift_size), axis=(1, 2, 3))
+        if any(pp > 0 for pp in pads_eff):
+            x = x[:, pads_eff[0]: x.shape[1] - pads_eff[1],
+                  pads_eff[2]: x.shape[2] - pads_eff[3],
+                  pads_eff[4]: x.shape[3] - pads_eff[5], :]
+        return x
+
     def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                           deterministic: bool) -> jnp.ndarray:
         b, h, w, d, c = x.shape
         window_size = tuple(self.window_size)
         shift_size = self.get_shift_size((h, w, d))
         paddings = compute_paddings((h, w, d), window_size)
+
+        # Pad-folding fast path (TPU fused kernel only): axes where the
+        # feature map is SMALLER than the window would be zero-padded
+        # identically in every window; their entire attention
+        # contribution folds into one virtual key column (see
+        # ops/fused_block.py docstring for the exact algebra).  Numerics
+        # match the reference computation up to fp reassociation.
+        from .window_attention import _use_pallas
+        dropout_active = (not deterministic) and (
+            self.attn_drop > 0.0 or self.proj_drop > 0.0)
+        use_fused_block = (
+            not dropout_active and not self.is_initializing()
+            and _use_pallas(self.attn_impl, True, self.attn_drop))
+        fold_axes = tuple(i for i, dim in enumerate((h, w, d))
+                          if dim < self.window_size[i])
+        if use_fused_block and fold_axes:
+            return self._forward_folded(x, p, window_size, shift_size,
+                                        paddings, fold_axes)
+
         if any(pp > 0 for pp in paddings):
             x = jnp.pad(x, ((0, 0),
                             (paddings[0], paddings[1]),
@@ -137,39 +272,19 @@ class SwinTransformerBlock(nn.Module):
         mask_rows = None if attn_mask is None \
             else attn_mask[:, :, :, :n_content, :]
 
-        from .window_attention import _use_pallas
         # Fused path also covers training when both dropouts are off: the
         # kernel's custom_vjp differentiates an exactly-matching jnp
         # reference, so gradients are correct.
-        dropout_active = (not deterministic) and (
-            self.attn_drop > 0.0 or self.proj_drop > 0.0)
-        use_fused_block = (
-            not dropout_active and not self.is_initializing()
-            and self.hidden_channels <= 128
-            and _use_pallas(self.attn_impl, True, self.attn_drop))
         if use_fused_block:
             # Entire LN->qkv->attention->proj->LN->MLP body in one Pallas
             # kernel (ops/fused_block.py); prompt tokens are model
             # parameters broadcast over the batch, so row 0 carries them.
             from ..ops.fused_block import fused_swin_block
-            attn_params = self.attn.variables["params"]
-            ln1 = self.attn_norm.variables["params"]
-            ln2 = self.mlp_norm.variables["params"]
-            mlp = self.mlp.variables["params"]
-            params = {
-                "ln1_scale": ln1["scale"], "ln1_bias": ln1["bias"],
-                "wq": attn_params["to_q_kernel"],
-                "wk": attn_params["to_k_kernel"],
-                "wv": attn_params["to_v_kernel"],
-                "wproj": attn_params["proj"]["kernel"],
-                "bproj": attn_params["proj"]["bias"],
-                "ln2_scale": ln2["scale"], "ln2_bias": ln2["bias"],
-                "wmlp": mlp["kernel"], "bmlp": mlp["bias"],
-            }
             head_dim = self.hidden_channels // self.num_heads
             x_win = fused_swin_block(
-                x_win, p[0] if p is not None else None, params, bias_rows,
-                mask_rows, head_dim ** -0.5, self.num_heads)
+                x_win, p[0] if p is not None else None,
+                self._block_params(), bias_rows, mask_rows,
+                head_dim ** -0.5, self.num_heads)
         else:
             if p is not None:
                 p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),

@@ -31,6 +31,10 @@ _xavier = nn.initializers.xavier_uniform()
 def _use_pallas(impl: str, deterministic: bool, attn_drop: float) -> bool:
     if impl == "xla":
         return False
+    from ..ops import window_attention_pallas as _wap
+    if _wap.force_interpret():  # test hook: interpret-mode kernels on CPU
+        dropout_active = (not deterministic) and attn_drop > 0.0
+        return not dropout_active
     dropout_active = (not deterministic) and attn_drop > 0.0
     if dropout_active:
         return False

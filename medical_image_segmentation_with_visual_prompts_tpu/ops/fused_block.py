@@ -1,9 +1,9 @@
-"""Fully fused Swin block kernel: LN → qkv → attention → proj → LN → MLP.
+"""Fully fused Swin block kernel: LN → qkv → attention → proj → MLP.
 
 The per-block elementwise chain around attention (two LayerNorms, the
 projection, the single-Linear MLP, two residual adds, the prompt-token
 concat) costs ~6 ms of XLA fusions and layout copies per forward in
-traces.  For C <= 128 this kernel executes the ENTIRE
+traces.  This kernel executes the ENTIRE
 ``SwinTransformerBlock.forward_attn_mlp`` inner body (reference
 swin_block.py:205-227) in VMEM per window group:
 
@@ -22,6 +22,33 @@ intermediates.
 
 Prompt tokens are passed UNBATCHED ``[I, C]`` (they are broadcast model
 parameters, identical across the batch by construction).
+
+Pad-folding (``fold_mode``): on axes where the feature map is SMALLER
+than the attention window, the reference pads every window with the
+same zero voxels (symmetric floor/ceil, swin_block.py:150-163).  A
+zero voxel after LayerNorm is exactly the LN bias vector, so all pad
+keys/values within a window are IDENTICAL — their entire contribution
+to attention folds into ONE virtual key column, exactly:
+
+* unshifted block (``fold_mode=1``): every pad column j contributes
+  ``exp(q·k_pad·scale + bias_j)`` with the SAME ``k_pad = LN1_bias·Wk``
+  → one column with logit ``q·k_pad·scale + logsumexp_j(bias_j)``
+  (the logsumexp is precomputed into the assembled bias outside).
+* shifted block (``fold_mode=2``): the multiplicative mask zeroes every
+  content-row×pad-column logit (pads carry shift-region labels ≠ the
+  interior's 100 — ops/windows.py), so each pad column contributes
+  ``exp(0)=1`` → one UNMASKED column with k_pad = 0 and bias
+  ``ln(n_pad)``.
+
+In both cases the virtual column's value row is ``v_pad = LN1_bias·Wv``
+and pad QUERY rows are dropped entirely (their outputs are discarded by
+the block's un-pad).  This shrinks the window geometry from
+``prod(window)`` tokens to the content count (4x at 16x16x1 stages) at
+bit-exact-up-to-fp-reassociation numerics.
+
+Heads are processed in chunks of ``head_block`` (VMEM-bounded), which
+extends the packed formulation past C=128 (stage-2 C=192, bottleneck
+C=384) — each chunk's fp32 score tile dies before the next is built.
 """
 
 from __future__ import annotations
@@ -35,9 +62,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import window_attention_pallas as _wap
 from .window_attention_pallas import _pick_group_packed
 
 _EPS = 1e-6
+
+FOLD_NONE = 0    # no virtual pad column
+FOLD_KEY = 1     # unshifted: k_pad = LN1_bias @ Wk, bias carries lse
+FOLD_COUNT = 2   # shifted: k_pad = 0, bias carries ln(n_pad)
 
 
 def _ln(x, scale, bias):
@@ -51,45 +83,63 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
                   wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
                   bm_ref, bias_ref, mask_ref, colmask_ref, o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
-                  with_mask: bool):
+                  with_mask: bool, fold_mode: int, head_block: int):
     g, h, i = group, num_heads, n_tokens
     m, c = x_ref.shape[1], x_ref.shape[2]
-    n = m + i
+    nf = 1 if fold_mode else 0
+    n = m + nf + i
     x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
     if i > 0:
         tok = tok_ref[:].astype(jnp.float32)              # [i, c]
         tok_g = jnp.concatenate([tok[None]] * g, axis=0)  # [g, i, c]
-        kv = jnp.concatenate([x, tok_g], axis=1)          # [g, n, c]
+        kv = jnp.concatenate([x, tok_g], axis=1)          # [g, m+i, c]
     else:
         kv = x
+    ln1b = ln1b_ref[0].astype(jnp.float32)
     y = _ln(kv, ln1s_ref[0].astype(jnp.float32)[None, None, :],
-            ln1b_ref[0].astype(jnp.float32)[None, None, :])
+            ln1b[None, None, :])
+    if fold_mode:
+        # Virtual pad row: key is LN(0) = ln1_bias (FOLD_KEY) or zero
+        # (FOLD_COUNT, the q·k term must vanish); value is always LN(0).
+        vrow = jnp.concatenate([ln1b[None, None, :]] * g, axis=0)  # [g,1,c]
+        krow = vrow if fold_mode == FOLD_KEY else jnp.zeros_like(vrow)
+        yk = jnp.concatenate([y[:, :m], krow, y[:, m:]], axis=1)
+        yv = jnp.concatenate([y[:, :m], vrow, y[:, m:]], axis=1)
+    else:
+        yk = yv = y
     y16 = y.astype(jnp.bfloat16)
     dot = lambda a, b: jax.lax.dot_general(
         a, b, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     q = dot(y16[:, :m], wq_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    k = dot(y16, wk_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    v = dot(y16, wv_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    k = dot(yk.astype(jnp.bfloat16),
+            wk_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    v = dot(yv.astype(jnp.bfloat16),
+            wv_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
     colmask = colmask_ref[:].astype(jnp.bfloat16)         # [h, c]
-    qp = jnp.concatenate([q * colmask[hh][None, None, :]
-                          for hh in range(h)], axis=1)    # [g, h*m, c]
-    s = jax.lax.dot_general(
-        qp, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale       # [g, h*m, n]
-    s = s + bias_ref[:].astype(jnp.float32)[None]
+    colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
         mask = mask_ref[:].astype(jnp.float32)            # [g, m, n]
-        s = s * jnp.concatenate([mask] * h, axis=1)
-    probs = jax.nn.softmax(s, axis=-1)
-    o_full = jax.lax.dot_general(
-        probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [g, h*m, c]
-    colmask32 = colmask_ref[:].astype(jnp.float32)
-    attn = o_full[:, 0:m, :] * colmask32[0][None, None, :]
-    for hh in range(1, h):
-        attn = attn + o_full[:, hh * m:(hh + 1) * m, :] \
-            * colmask32[hh][None, None, :]
+    attn = None
+    for h0 in range(0, num_heads, head_block):
+        hb = min(head_block, num_heads - h0)
+        qp = jnp.concatenate([q * colmask[hh][None, None, :]
+                              for hh in range(h0, h0 + hb)],
+                             axis=1)                      # [g, hb*m, c]
+        s = jax.lax.dot_general(
+            qp, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [g, hb*m, n]
+        s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
+        if with_mask:
+            s = s * jnp.concatenate([mask] * hb, axis=1)
+        probs = jax.nn.softmax(s, axis=-1)
+        o_full = jax.lax.dot_general(
+            probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [g, hb*m, c]
+        for j in range(hb):
+            part = o_full[:, j * m:(j + 1) * m, :] \
+                * colmask32[h0 + j][None, None, :]
+            attn = part if attn is None else attn + part
     proj = dot(attn.astype(jnp.bfloat16), wp_ref[:].astype(jnp.bfloat16)) \
         + bp_ref[0].astype(jnp.float32)[None, None, :]
     x1 = x + proj
@@ -100,10 +150,12 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     o_ref[:] = (x1 + mlp).astype(o_ref.dtype)
 
 
-def _block_reference(x, tokens, params, bias, mask, scale, num_heads):
+def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
+                     fold_mode=FOLD_NONE):
     """Pure-jnp mirror of the kernel (differentiable; used by the VJP)."""
     bp, m, c = x.shape
     dh = c // num_heads
+    nf = 1 if fold_mode else 0
     xf = x.astype(jnp.float32)
     if tokens is not None:
         tok = jnp.broadcast_to(tokens.astype(jnp.float32)[None],
@@ -111,10 +163,21 @@ def _block_reference(x, tokens, params, bias, mask, scale, num_heads):
         kv = jnp.concatenate([xf, tok], axis=1)
     else:
         kv = xf
-    y = _ln(kv, params["ln1_scale"], params["ln1_bias"]).astype(jnp.bfloat16)
+    y = _ln(kv, params["ln1_scale"], params["ln1_bias"])
+    if fold_mode:
+        ln1b = params["ln1_bias"].astype(jnp.float32)
+        vrow = jnp.broadcast_to(ln1b[None, None, :], (bp, 1, c))
+        krow = vrow if fold_mode == FOLD_KEY else jnp.zeros_like(vrow)
+        yk = jnp.concatenate([y[:, :m], krow, y[:, m:]], axis=1)
+        yv = jnp.concatenate([y[:, :m], vrow, y[:, m:]], axis=1)
+    else:
+        yk = yv = y
+    y = y.astype(jnp.bfloat16)
     q = (y[:, :m] @ params["wq"].astype(jnp.bfloat16)).astype(jnp.float32)
-    k = (y @ params["wk"].astype(jnp.bfloat16)).astype(jnp.float32)
-    v = (y @ params["wv"].astype(jnp.bfloat16)).astype(jnp.float32)
+    k = (yk.astype(jnp.bfloat16)
+         @ params["wk"].astype(jnp.bfloat16)).astype(jnp.float32)
+    v = (yv.astype(jnp.bfloat16)
+         @ params["wv"].astype(jnp.bfloat16)).astype(jnp.float32)
     split = lambda t: t.reshape(bp, t.shape[1], num_heads, dh)
     qh, kh, vh = split(q), split(k), split(v)
     s = jnp.einsum("xmhd,xnhd->xhmn", qh, kh) * scale
@@ -138,20 +201,34 @@ _PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
                "ln2_scale", "ln2_bias", "wmlp", "bmlp")
 
 
-def _forward(x, tokens, params, bias, mask, scale, num_heads,
+def _pick_head_block(num_heads: int, g: int, m: int, n: int) -> int:
+    """Largest divisor of num_heads whose fp32 score tile fits the
+    budget (2x: scores + softmax temp)."""
+    for hb in range(num_heads, 0, -1):
+        if num_heads % hb:
+            continue
+        if 2 * g * hb * m * n * 4 <= _wap._VMEM_BUDGET or hb == 1:
+            return hb
+    return 1
+
+
+def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
              interpret=False):
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
-    n = m + i
+    nf = 1 if fold_mode else 0
+    n = m + nf + i
     dh = c // num_heads
     p = mask.shape[0] if mask is not None else None
     g = _pick_group_packed(bp, p, num_heads, m, n)
+    hb = _pick_head_block(num_heads, g, m, n)
     colmask_np = np.zeros((num_heads, c), np.float32)
     for hh in range(num_heads):
         colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
-        n_tokens=i, with_mask=mask is not None)
+        n_tokens=i, with_mask=mask is not None, fold_mode=fold_mode,
+        head_block=hb)
     x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
                           memory_space=pltpu.VMEM)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
@@ -193,32 +270,33 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads,
             flops=4 * bp * num_heads * m * n * dh + 12 * bp * n * c * c,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
-        interpret=interpret,
+        interpret=interpret or _wap._FORCE_INTERPRET,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                 has_tokens, interpret):
+                 has_tokens, fold_mode, interpret):
     params = dict(zip(_PARAM_KEYS, param_tuple))
     return _forward(x, tokens if has_tokens else None, params, bias, mask,
-                    scale, num_heads, interpret)
+                    scale, num_heads, fold_mode, interpret)
 
 
 def _fused_block_fwd(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                     has_tokens, interpret):
+                     has_tokens, fold_mode, interpret):
     out = _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                       has_tokens, interpret)
+                       has_tokens, fold_mode, interpret)
     return out, (x, tokens, param_tuple, bias, mask)
 
 
-def _fused_block_bwd(scale, num_heads, has_tokens, interpret, res, g):
+def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, interpret,
+                     res, g):
     x, tokens, param_tuple, bias, mask = res
 
     def ref(x_, tokens_, param_tuple_, bias_, mask_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))
         return _block_reference(x_, tokens_ if has_tokens else None, params,
-                                bias_, mask_, scale, num_heads)
+                                bias_, mask_, scale, num_heads, fold_mode)
 
     _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, mask)
     return vjp(g)
@@ -230,7 +308,8 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
                      params: dict, pos_bias: jnp.ndarray,
                      mask: Optional[jnp.ndarray], scale: float,
-                     num_heads: int, interpret: bool = False) -> jnp.ndarray:
+                     num_heads: int, fold_mode: int = FOLD_NONE,
+                     interpret: bool = False) -> jnp.ndarray:
     """Run the full block on windowed content tokens.
 
     Args:
@@ -238,18 +317,21 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
       tokens: ``[I, C]`` prompt tokens (unbatched) or None.
       params: dict with ``ln1_scale, ln1_bias, wq, wk, wv, wproj, bproj,
         ln2_scale, ln2_bias, wmlp, bmlp``.
-      pos_bias: ``[1, 1, H, M, N]``; mask: ``[1, P, 1, M, N]`` or None.
+      pos_bias: ``[1, 1, H, M, N]``; mask: ``[1, P, 1, M, N]`` or None,
+        where ``N = M (+1 when fold_mode) + I`` — bias/mask columns must
+        already be assembled in (content, [fold], prompt) order.
+      fold_mode: FOLD_NONE / FOLD_KEY (unshifted) / FOLD_COUNT (shifted).
 
     Returns: ``[B, P, M, C]`` block output.
     """
     b, p, m, c = x_win.shape
     i = 0 if tokens is None else tokens.shape[0]
-    n = m + i
+    n = m + (1 if fold_mode else 0) + i
     xf = x_win.reshape(b * p, m, c)
     bias = pos_bias.reshape(num_heads, m, n)
     msk = None if mask is None else mask.reshape(p, m, n)
     param_tuple = tuple(params[k] for k in _PARAM_KEYS)
     tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x_win.dtype)
     out = _fused_block(xf, tok_arg, param_tuple, bias, msk, scale, num_heads,
-                       tokens is not None, interpret)
+                       tokens is not None, fold_mode, interpret)
     return out.reshape(b, p, m, c)

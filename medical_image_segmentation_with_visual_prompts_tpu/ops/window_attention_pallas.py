@@ -65,7 +65,19 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
 
 # Conservative: Mosaic stack-allocates softmax temporaries beyond the
 # explicit buffers, so size for ~16 MB VMEM with ~2.5x headroom.
-_VMEM_BUDGET = 6 * 1024 * 1024
+# Env-tunable for perf sweeps (bytes).
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("MIVP_VMEM_BUDGET", 6 * 1024 * 1024))
+
+# Test hook: when True, module code treats Pallas as available and every
+# kernel runs in interpreter mode — lets CPU tests exercise the full
+# fused/folded model paths, not just the kernels in isolation.
+_FORCE_INTERPRET = False
+
+
+def force_interpret() -> bool:
+    return _FORCE_INTERPRET
 
 
 def _pick_blocks(bp: int, p, num_heads: int, m: int, n: int):
@@ -124,7 +136,7 @@ def _forward_pallas(q, k, v, bias, mask, scale, interpret=False):
             flops=flops,
             bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(*args)
 
 
@@ -227,7 +239,7 @@ def _forward_packed(q, k, v, bias, mask, scale, num_heads, interpret=False):
             flops=4 * bp * num_heads * m * n * dh,
             bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(*args)
 
 
@@ -409,7 +421,7 @@ def _forward_packed_qkv(y, wq, wk, wv, bias, mask, scale, num_heads, m_len,
             + 6 * bp * n * c * c,
             bytes_accessed=2 * y.size * y.dtype.itemsize,
             transcendentals=bp * num_heads * m_len * n),
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(*args)
 
 

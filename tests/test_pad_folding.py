@@ -1,0 +1,136 @@
+"""Pad-folding parity: the folded fused-block path must reproduce the
+reference's padded-window computation.
+
+On axes where the feature map is smaller than the attention window the
+reference zero-pads every window identically (swin_block.py:150-163);
+after LayerNorm all pad tokens are the same vector, so their attention
+contribution folds exactly into one virtual key column
+(ops/fused_block.py).  These tests run the REAL model path with the
+interpret-mode hook and compare against the unfolded XLA path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.models import (
+    SwinTransformerBlock)
+from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+    window_attention_pallas as wap)
+
+
+def _block(shift, tokens=3, heads=2, c=8, window=(4, 4, 4), impl="xla"):
+    return SwinTransformerBlock(
+        hidden_channels=c, window_size=window, pos_bias_embed_dim=8,
+        num_heads=heads, max_prompts=1,
+        tokens_per_prompt=max(tokens, 1), use_token_params=tokens > 0,
+        shift_size=shift, attn_impl=impl)
+
+
+def _run_pair(monkeypatch, shift, shape=(2, 8, 8, 2, 8), tokens=3,
+              heads=2, window=(4, 4, 4)):
+    c = shape[-1]
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    p = None
+    if tokens:
+        p = jax.random.normal(jax.random.PRNGKey(1), (1, tokens, c))
+        p = jnp.broadcast_to(p, (shape[0], tokens, c))
+    ref_blk = _block(shift, tokens, heads, c, window, impl="xla")
+    params = ref_blk.init(jax.random.PRNGKey(2), x, p)
+    want = ref_blk.apply(params, x, p)
+    # Same params through the folded fused path (interpret-mode kernels).
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    fold_blk = _block(shift, tokens, heads, c, window, impl="auto")
+    got = fold_blk.apply(params, x, p)
+    return np.asarray(want), np.asarray(got)
+
+
+def test_folded_noshift_matches_unfolded(monkeypatch):
+    # depth 2 < window 4 -> FOLD_KEY (logsumexp'd pad bias columns).
+    want, got = _run_pair(monkeypatch, shift=(0, 0, 0))
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_folded_shift_matches_unfolded(monkeypatch):
+    # Shifted block -> mask active -> FOLD_COUNT (ln(n_pad) column).
+    want, got = _run_pair(monkeypatch, shift=(2, 2, 2))
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_folded_no_tokens(monkeypatch):
+    want, got = _run_pair(monkeypatch, shift=(0, 0, 0), tokens=0)
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+    want, got = _run_pair(monkeypatch, shift=(2, 2, 2), tokens=0)
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_folded_two_axes(monkeypatch):
+    # Both W and D smaller than the window: two folded axes at once.
+    want, got = _run_pair(monkeypatch, shift=(2, 2, 2),
+                          shape=(1, 8, 2, 3, 8))
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_folded_gradients_flow(monkeypatch):
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    c, tokens = 8, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 2, c))
+    p = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, tokens, c)),
+        (1, tokens, c))
+    blk = _block((2, 2, 2), tokens, 2, c, impl="auto")
+    params = blk.init(jax.random.PRNGKey(2), x, p)
+
+    def loss(pr, x_, p_):
+        return jnp.sum(blk.apply(pr, x_, p_).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(params, x, p)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+    # Gradient matches the unfolded XLA path.
+    blk_ref = _block((2, 2, 2), tokens, 2, c, impl="xla")
+    grads_ref = jax.grad(
+        lambda pr, x_, p_: jnp.sum(
+            blk_ref.apply(pr, x_, p_).astype(jnp.float32) ** 2)
+    )(params, x, p)
+    for g, gr in zip(jax.tree_util.tree_leaves(grads),
+                     jax.tree_util.tree_leaves(grads_ref)):
+        g, gr = np.asarray(g), np.asarray(gr)
+        # The folded backward runs bf16 matmuls (the XLA reference is
+        # fp32): tolerate bf16-level error relative to the grad scale.
+        np.testing.assert_allclose(
+            g, gr, rtol=8e-2, atol=2e-2 * max(1.0, np.abs(gr).max()))
+
+
+def test_head_block_chunking_matches(monkeypatch):
+    """Tiny VMEM budget forces head chunking; output must not change."""
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block \
+        import _block_reference, fused_swin_block
+    b, p_, m, i, h, dh = 1, 2, 16, 4, 4, 8
+    c = h * dh
+    n = m + i
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+    r = lambda k, s: jax.random.normal(k, s, jnp.float32)
+    x = r(keys[0], (b, p_, m, c))
+    tokens = r(keys[1], (i, c))
+    params = {k: 0.3 * r(kk, (c, c)) if k.startswith("w") else
+              0.1 * r(kk, (c,))
+              for k, kk in zip(("ln1_scale", "ln1_bias", "wq", "wk", "wv",
+                                "wproj", "bproj", "ln2_scale", "ln2_bias",
+                                "wmlp", "bmlp"), keys[2:13])}
+    bias = r(keys[13], (1, 1, h, m, n))
+    scale = dh ** -0.5
+    full = fused_swin_block(x, tokens, params, bias, None, scale, h,
+                            interpret=True)
+    # Budget below one head's score tile -> head_block = 1.
+    monkeypatch.setattr(wap, "_VMEM_BUDGET", 2 * m * n * 4)
+    chunked = fused_swin_block(x, tokens, params, bias, None, scale, h,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=2e-2, atol=2e-2)
+    want = _block_reference(x.reshape(b * p_, m, c), tokens, params,
+                            bias.reshape(h, m, n), None, scale, h)
+    np.testing.assert_allclose(np.asarray(chunked).reshape(b * p_, m, c),
+                               np.asarray(want), rtol=4e-2, atol=4e-2)
