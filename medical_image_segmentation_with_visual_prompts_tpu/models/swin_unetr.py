@@ -147,6 +147,7 @@ class _SegHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.conv_fold import conv3d_tap_matmul
         from ..ops.conv_small import conv3d_small_cout
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                          use_running_average=deterministic, name="norm")(x)
@@ -154,7 +155,14 @@ class _SegHead(nn.Module):
                             (3, 3, 3, x.shape[-1], self.out_channels))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.out_channels,))
-        return conv3d_small_cout(x, kernel, bias).astype(jnp.float32)
+        if x.shape[3] <= 8:
+            # Depth-folded tap matmul: 27 taps -> 9, channels-friendly
+            # layout (the 2-channel conv's tap tensor no longer needs
+            # an XLA layout-fix copy — ~2 ms of the traced forward).
+            out = conv3d_tap_matmul(x, kernel, bias, dtype=jnp.bfloat16)
+        else:
+            out = conv3d_small_cout(x, kernel, bias)
+        return out.astype(jnp.float32)
 
 
 class SwinUnetR(nn.Module):

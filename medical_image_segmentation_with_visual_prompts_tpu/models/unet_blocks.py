@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import upsample_trilinear
@@ -28,7 +29,11 @@ _CONV_DN = ("NHWDC", "HWDIO", "NHWDC")
 
 
 class Conv3d(nn.Module):
-    """3D conv, channels-last, torch-style 'same' padding for odd kernels."""
+    """3D conv, channels-last, torch-style 'same' padding for odd kernels.
+
+    On TPU, shallow-depth 'same' 3x3x3 convs take a depth-folded fast
+    path (ops/conv_fold.py) — same math (up to fp reassociation), far
+    better MXU tiling.  The param tree is unchanged (``Conv_0``)."""
 
     features: int
     kernel_size: Sequence[int] = (3, 3, 3)
@@ -37,15 +42,30 @@ class Conv3d(nn.Module):
     use_bias: bool = True
     dtype: Any = None  # compute dtype (params stay fp32)
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         k = tuple(self.kernel_size)
-        pad = tuple(p for p in (self.padding if self.padding is not None
-                                else [kk // 2 for kk in k]))
-        return nn.Conv(self.features, kernel_size=k,
-                       strides=tuple(self.strides),
-                       padding=[(p, p) for p in pad],
-                       use_bias=self.use_bias, dtype=self.dtype)(x)
+        self._pad = tuple(p for p in (self.padding if self.padding is not None
+                                      else [kk // 2 for kk in k]))
+        self.conv = nn.Conv(self.features, kernel_size=k,
+                            strides=tuple(self.strides),
+                            padding=[(p, p) for p in self._pad],
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="Conv_0")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import window_attention_pallas as _wap
+        from ..ops.conv_fold import (conv3d_depth_folded, conv3d_tap_matmul,
+                                     fold_plan)
+        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        plan = fold_plan(x.shape, self.kernel_size, self.strides, self._pad,
+                         self.features) if on_tpu else None
+        if plan is not None and not self.is_initializing():
+            p = self.conv.variables["params"]
+            bias = p.get("bias") if self.use_bias else None
+            fn = conv3d_depth_folded if plan == "fold2d" else \
+                conv3d_tap_matmul
+            return fn(x, p["kernel"], bias, dtype=self.dtype)
+        return self.conv(x)
 
 
 class ConvTranspose3d(nn.Module):
