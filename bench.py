@@ -87,6 +87,45 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
     vps = REPEATS / dt
+
+    # MFU accounting (VERDICT r1 item 4): analytic MODEL FLOPs of the
+    # reference-equivalent forward (XLA attention path, op-for-op the
+    # reference computation), independent of kernel padding/folding.
+    # Details go to stderr; stdout stays the single JSON line.
+    import sys
+    try:
+        from medical_image_segmentation_with_visual_prompts_tpu.models \
+            import SwinUnetR as _S
+        from medical_image_segmentation_with_visual_prompts_tpu.utils.flops \
+            import chip_peak_tflops, lowered_flops
+        if jax.default_backend() == "cpu":
+            conf_ref = _flagship_conf(attn_impl="xla",
+                                      compute_dtype="float32")
+            model_ref = _S(conf_ref)
+            flops_chunk = lowered_flops(
+                lambda v, xx: model_ref.apply(
+                    v, xx, deterministic=True)["downstream"],
+                variables, x0)
+        else:
+            # The axon TPU backend exposes no HLO cost analysis; use the
+            # CPU-computed constant (tools/baseline_model.py: 24.43
+            # GFLOP per 128x128x8 window forward, canonical config).
+            flops_chunk = 24.43e9 * CHUNK
+        n_chunks = starts.shape[0] // CHUNK
+        flops_volume = flops_chunk * n_chunks
+        peak = chip_peak_tflops()
+        tflops = flops_volume * vps / 1e12
+        print(json.dumps({
+            "detail": "mfu",
+            "model_flops_per_volume": flops_volume,
+            "achieved_tflops": round(tflops, 2),
+            "peak_tflops": peak,
+            "mfu_pct": round(100.0 * tflops / peak, 2),
+            "volume_ms": round(1e3 / vps, 2),
+        }), file=sys.stderr)
+    except Exception as e:  # accounting must never break the bench
+        print(f"mfu accounting failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "sliding_window_volumes_per_sec_per_chip",
         "value": round(vps, 4),

@@ -25,7 +25,7 @@ import numpy as np
 from .data import save_nifti
 from .data.transforms import load_image, scale_intensity_range
 from .models import ModelConfig, SwinUnetR
-from .parallel import make_sliding_window_fn, pad_starts, window_starts
+from .parallel import BucketedInference, window_starts
 from .utils import get_full_configs, load_checkpoint, restore_like
 
 
@@ -39,14 +39,13 @@ def segment_volume(conf, variables, volume: np.ndarray,
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
     roi = tuple(conf.roi_size)
-    slices, starts, grid_shape = window_starts(volume.shape[:3], roi)
+    slices, _, _ = window_starts(volume.shape[:3], roi)
     cropped = np.ascontiguousarray(
         volume[slices[0], slices[1], slices[2]])
-    run = make_sliding_window_fn(apply_fn, roi, chunk,
-                                 conf.output_channels_downstream,
-                                 mode="gaussian", grid_shape=grid_shape)
-    starts_p, n_valid = pad_starts(starts, chunk)
-    probs = run(jnp.asarray(cropped), jnp.asarray(starts_p), n_valid)
+    # Bucketed: heterogeneous volume shapes share O(#buckets) programs.
+    runner = BucketedInference(apply_fn, roi, chunk,
+                               conf.output_channels_downstream)
+    probs = runner(cropped)
     pred_crop = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.int16)
     # Uncovered border voxels (center-crop margins) stay background 0.
     pred = np.zeros(volume.shape[:3], np.int16)

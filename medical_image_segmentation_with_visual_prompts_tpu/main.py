@@ -16,6 +16,10 @@ from .utils.initialization import setup_fitting, setup_testing
 
 
 def main(mode: str, hparams: Namespace):
+    # Multi-host controller handshake (no-op unless `distributed: true`);
+    # must run before first backend use so jax.devices() is global.
+    from .parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed(hparams)
     if mode == "fit":
         trainer = setup_fitting(hparams)
         trainer.train()

@@ -104,7 +104,7 @@ class SwinTransformerBlock(nn.Module):
 
     def _forward_folded(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                         window_size, shift_size, paddings,
-                        fold_axes) -> jnp.ndarray:
+                        fold_axes, drop_kw=None) -> jnp.ndarray:
         """Fused-block forward with pad-folding on ``fold_axes``.
 
         Axes whose feature extent is smaller than the window are NOT
@@ -116,7 +116,8 @@ class SwinTransformerBlock(nn.Module):
         positional-bias columns of unmasked pads — is reproduced via the
         assembled bias/mask below.
         """
-        from ..ops.fused_block import FOLD_COUNT, FOLD_KEY, fused_swin_block
+        from ..ops.fused_block import (FOLD_COUNT, FOLD_KEY, fold_width,
+                                       fused_swin_block)
         b, h, w, d, c = x.shape
         dims = (h, w, d)
         n_tokens = 0 if p is None else p.shape[1]
@@ -137,6 +138,9 @@ class SwinTransformerBlock(nn.Module):
         m_c = int(ci.size)
         n_full = int(np.prod(window_size))
         n_pad = n_full - m_c
+        # Fold block width: 1 real virtual column + sublane-alignment
+        # columns neutralized with a -1e30 bias.
+        n_fold = fold_width(m_c, n_tokens)
 
         # Pad/roll only the non-folded axes (folded axes have shift 0 by
         # the adaptive-shift rule and are never materially padded).
@@ -170,8 +174,8 @@ class SwinTransformerBlock(nn.Module):
             mask_c = full_mask[:, ci][:, :, ci]
             pwin = mask_c.shape[0]
             assembled_mask = np.concatenate(
-                [mask_c, np.ones((pwin, m_c, 1 + n_tokens), np.float32)],
-                axis=-1)
+                [mask_c, np.ones((pwin, m_c, n_fold + n_tokens),
+                                 np.float32)], axis=-1)
             mask = jnp.asarray(assembled_mask)[None, :, None]
             fold_mode = FOLD_COUNT
         else:
@@ -182,6 +186,10 @@ class SwinTransformerBlock(nn.Module):
             fold_col = jax.nn.logsumexp(bias_pads, axis=-1, keepdims=True)
             mask = None
             fold_mode = FOLD_KEY
+        if n_fold > 1:  # alignment columns: softmax weight exp(-1e30) = 0
+            dead = jnp.full((pos_bias.shape[0], m_c, n_fold - 1), -1e30,
+                            pos_bias.dtype)
+            fold_col = jnp.concatenate([fold_col, dead], axis=-1)
         bias = jnp.concatenate([bias_cc, fold_col, bias_cp], axis=-1)
         bias = bias[None, None]                     # [1, 1, H, Mc, N']
 
@@ -190,7 +198,7 @@ class SwinTransformerBlock(nn.Module):
         x_win = fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias, mask, head_dim ** -0.5, self.num_heads,
-            fold_mode=fold_mode)
+            fold_mode=fold_mode, **(drop_kw or {}))
         x = window_reverse(x_win, wc, (hp, wp, dp))
         if shifted:
             x = jnp.roll(x, shift=tuple(shift_size), axis=(1, 2, 3))
@@ -213,17 +221,26 @@ class SwinTransformerBlock(nn.Module):
         # contribution folds into one virtual key column (see
         # ops/fused_block.py docstring for the exact algebra).  Numerics
         # match the reference computation up to fp reassociation.
+        # Training with the canonical attn/proj dropout 0.1 ALSO runs in
+        # the kernel: counter-based masks (ops/prng.py) are regenerated
+        # bit-exactly by the custom_vjp's jnp backward.
         from .window_attention import _use_pallas
         dropout_active = (not deterministic) and (
             self.attn_drop > 0.0 or self.proj_drop > 0.0)
         use_fused_block = (
-            not dropout_active and not self.is_initializing()
-            and _use_pallas(self.attn_impl, True, self.attn_drop))
+            not self.is_initializing()
+            and _use_pallas(self.attn_impl, True, 0.0))
+        drop_kw = {}
+        if use_fused_block and dropout_active:
+            drop_kw = dict(
+                dropout_seeds=jax.random.bits(self.make_rng("dropout"),
+                                              (2,), jnp.uint32),
+                attn_drop=self.attn_drop, proj_drop=self.proj_drop)
         fold_axes = tuple(i for i, dim in enumerate((h, w, d))
                           if dim < self.window_size[i])
         if use_fused_block and fold_axes:
             return self._forward_folded(x, p, window_size, shift_size,
-                                        paddings, fold_axes)
+                                        paddings, fold_axes, drop_kw)
 
         if any(pp > 0 for pp in paddings):
             x = jnp.pad(x, ((0, 0),
@@ -284,7 +301,7 @@ class SwinTransformerBlock(nn.Module):
             x_win = fused_swin_block(
                 x_win, p[0] if p is not None else None,
                 self._block_params(), bias_rows, mask_rows,
-                head_dim ** -0.5, self.num_heads)
+                head_dim ** -0.5, self.num_heads, **drop_kw)
         else:
             if p is not None:
                 p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),

@@ -155,10 +155,11 @@ class _SegHead(nn.Module):
                             (3, 3, 3, x.shape[-1], self.out_channels))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.out_channels,))
-        if x.shape[3] <= 8:
-            # Depth-folded tap matmul: 27 taps -> 9, channels-friendly
-            # layout (the 2-channel conv's tap tensor no longer needs
-            # an XLA layout-fix copy — ~2 ms of the traced forward).
+        if x.shape[3] <= 4:
+            # Depth-folded tap matmul (27 taps -> 9) wins only at
+            # shallow depth; at D=8 full volume resolution the folded
+            # tap fusions regressed in-model (traced 4.97 ms vs 2.05 for
+            # the 27-tap shift decomposition) — keep conv_small there.
             out = conv3d_tap_matmul(x, kernel, bias, dtype=jnp.bfloat16)
         else:
             out = conv3d_small_cout(x, kernel, bias)

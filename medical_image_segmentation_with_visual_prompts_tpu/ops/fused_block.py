@@ -81,13 +81,16 @@ def _ln(x, scale, bias):
 
 def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
                   wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
-                  bm_ref, bias_ref, mask_ref, colmask_ref, o_ref, *,
+                  bm_ref, bias_ref, mask_ref, colmask_ref, seed_ref, o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
-                  with_mask: bool, fold_mode: int, head_block: int):
+                  with_mask: bool, fold_mode: int, n_fold: int,
+                  head_block: int, attn_drop: float, proj_drop: float):
+    from .prng import keep_mask
     g, h, i = group, num_heads, n_tokens
     m, c = x_ref.shape[1], x_ref.shape[2]
-    nf = 1 if fold_mode else 0
-    n = m + nf + i
+    n = m + n_fold + i
+    # Global index of this block's first window (uint32 for hashing).
+    w0 = (pl.program_id(0) * g).astype(jnp.uint32)
     x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
     if i > 0:
         tok = tok_ref[:].astype(jnp.float32)              # [i, c]
@@ -99,10 +102,16 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     y = _ln(kv, ln1s_ref[0].astype(jnp.float32)[None, None, :],
             ln1b[None, None, :])
     if fold_mode:
-        # Virtual pad row: key is LN(0) = ln1_bias (FOLD_KEY) or zero
-        # (FOLD_COUNT, the q·k term must vanish); value is always LN(0).
+        # Virtual pad rows: row 0's key is LN(0) = ln1_bias (FOLD_KEY)
+        # or zero (FOLD_COUNT, the q·k term must vanish); its value is
+        # always LN(0).  Rows 1..n_fold-1 are sublane-alignment padding,
+        # neutralized by the -1e30 bias columns assembled outside.
         vrow = jnp.concatenate([ln1b[None, None, :]] * g, axis=0)  # [g,1,c]
         krow = vrow if fold_mode == FOLD_KEY else jnp.zeros_like(vrow)
+        if n_fold > 1:
+            zpad = jnp.zeros((g, n_fold - 1, c), jnp.float32)
+            krow = jnp.concatenate([krow, zpad], axis=1)
+            vrow = jnp.concatenate([vrow, zpad], axis=1)
         yk = jnp.concatenate([y[:, :m], krow, y[:, m:]], axis=1)
         yv = jnp.concatenate([y[:, :m], vrow, y[:, m:]], axis=1)
     else:
@@ -133,6 +142,15 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
         if with_mask:
             s = s * jnp.concatenate([mask] * hb, axis=1)
         probs = jax.nn.softmax(s, axis=-1)
+        if attn_drop > 0.0:
+            # Counter-based dropout, reproduced bit-exactly by the jnp
+            # backward: idx = ((window*H + head)*m + row)*n + col.
+            ig = jax.lax.broadcasted_iota(jnp.uint32, (g, hb * m, n), 0)
+            rr = jax.lax.broadcasted_iota(jnp.uint32, (g, hb * m, n), 1)
+            jj = jax.lax.broadcasted_iota(jnp.uint32, (g, hb * m, n), 2)
+            head = h0 + rr // m
+            idx = (((w0 + ig) * num_heads + head) * m + rr % m) * n + jj
+            probs = probs * keep_mask(seed_ref[0, 0], idx, attn_drop)
         o_full = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [g, hb*m, c]
@@ -142,6 +160,12 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
             attn = part if attn is None else attn + part
     proj = dot(attn.astype(jnp.bfloat16), wp_ref[:].astype(jnp.bfloat16)) \
         + bp_ref[0].astype(jnp.float32)[None, None, :]
+    if proj_drop > 0.0:
+        ig = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 0)
+        rr = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 1)
+        jj = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 2)
+        idx = ((w0 + ig) * m + rr) * c + jj
+        proj = proj * keep_mask(seed_ref[0, 1], idx, proj_drop)
     x1 = x + proj
     l2 = _ln(x1, ln2s_ref[0].astype(jnp.float32)[None, None, :],
              ln2b_ref[0].astype(jnp.float32)[None, None, :])
@@ -151,11 +175,15 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
 
 
 def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
-                     fold_mode=FOLD_NONE):
-    """Pure-jnp mirror of the kernel (differentiable; used by the VJP)."""
+                     fold_mode=FOLD_NONE, n_fold=1, seeds=None,
+                     attn_drop=0.0, proj_drop=0.0):
+    """Pure-jnp mirror of the kernel (differentiable; used by the VJP).
+
+    Dropout masks are regenerated from (seeds, element index) with the
+    same counter hash as the kernel (ops/prng.py) — bit-identical."""
+    from .prng import keep_mask
     bp, m, c = x.shape
     dh = c // num_heads
-    nf = 1 if fold_mode else 0
     xf = x.astype(jnp.float32)
     if tokens is not None:
         tok = jnp.broadcast_to(tokens.astype(jnp.float32)[None],
@@ -168,6 +196,10 @@ def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
         ln1b = params["ln1_bias"].astype(jnp.float32)
         vrow = jnp.broadcast_to(ln1b[None, None, :], (bp, 1, c))
         krow = vrow if fold_mode == FOLD_KEY else jnp.zeros_like(vrow)
+        if n_fold > 1:
+            zpad = jnp.zeros((bp, n_fold - 1, c), jnp.float32)
+            krow = jnp.concatenate([krow, zpad], axis=1)
+            vrow = jnp.concatenate([vrow, zpad], axis=1)
         yk = jnp.concatenate([y[:, :m], krow, y[:, m:]], axis=1)
         yv = jnp.concatenate([y[:, :m], vrow, y[:, m:]], axis=1)
     else:
@@ -185,10 +217,24 @@ def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
     if mask is not None:
         s = s * mask[:, None]
     probs = jax.nn.softmax(s, axis=-1)
+    n = kh.shape[1]
+    if attn_drop > 0.0 and seeds is not None:
+        w = jnp.arange(bp, dtype=jnp.uint32)[:, None, None, None]
+        hh = jnp.arange(num_heads, dtype=jnp.uint32)[None, :, None, None]
+        rr = jnp.arange(m, dtype=jnp.uint32)[None, None, :, None]
+        jj = jnp.arange(n, dtype=jnp.uint32)[None, None, None, :]
+        idx = ((w * num_heads + hh) * m + rr) * n + jj
+        probs = probs * keep_mask(seeds[0], idx, attn_drop)
     attn = jnp.einsum("xhmn,xnhd->xmhd", probs, vh).reshape(bp, m, c)
     proj = (attn.astype(jnp.bfloat16)
             @ params["wproj"].astype(jnp.bfloat16)).astype(jnp.float32) \
         + params["bproj"]
+    if proj_drop > 0.0 and seeds is not None:
+        w = jnp.arange(bp, dtype=jnp.uint32)[:, None, None]
+        rr = jnp.arange(m, dtype=jnp.uint32)[None, :, None]
+        jj = jnp.arange(c, dtype=jnp.uint32)[None, None, :]
+        idx = (w * m + rr) * c + jj
+        proj = proj * keep_mask(seeds[1], idx, proj_drop)
     x1 = xf + proj
     l2 = _ln(x1, params["ln2_scale"], params["ln2_bias"])
     mlp = (l2.astype(jnp.bfloat16)
@@ -213,11 +259,11 @@ def _pick_head_block(num_heads: int, g: int, m: int, n: int) -> int:
 
 
 def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
+             n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
              interpret=False):
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
-    nf = 1 if fold_mode else 0
-    n = m + nf + i
+    n = m + n_fold + i
     dh = c // num_heads
     p = mask.shape[0] if mask is not None else None
     g = _pick_group_packed(bp, p, num_heads, m, n)
@@ -228,7 +274,8 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=mask is not None, fold_mode=fold_mode,
-        head_block=hb)
+        n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
+        proj_drop=proj_drop)
     x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
                           memory_space=pltpu.VMEM)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
@@ -260,6 +307,10 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
         args.append(jnp.zeros((1, 1, 1), x.dtype))
     in_specs.append(colmask_spec)
     args.append(jnp.asarray(colmask_np))
+    in_specs.append(pl.BlockSpec((1, 2), lambda idx: (0, 0),
+                                 memory_space=pltpu.SMEM))
+    args.append(jnp.zeros((1, 2), jnp.uint32) if seeds is None
+                else seeds.reshape(1, 2).astype(jnp.uint32))
     return pl.pallas_call(
         kernel,
         grid=(bp // g,),
@@ -274,41 +325,55 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                 has_tokens, fold_mode, interpret):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def _fused_block(x, tokens, param_tuple, bias, mask, seeds, scale,
+                 num_heads, has_tokens, fold_mode, n_fold, attn_drop,
+                 proj_drop, interpret):
     params = dict(zip(_PARAM_KEYS, param_tuple))
     return _forward(x, tokens if has_tokens else None, params, bias, mask,
-                    scale, num_heads, fold_mode, interpret)
+                    scale, num_heads, fold_mode, n_fold, seeds, attn_drop,
+                    proj_drop, interpret)
 
 
-def _fused_block_fwd(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                     has_tokens, fold_mode, interpret):
-    out = _fused_block(x, tokens, param_tuple, bias, mask, scale, num_heads,
-                       has_tokens, fold_mode, interpret)
-    return out, (x, tokens, param_tuple, bias, mask)
+def _fused_block_fwd(x, tokens, param_tuple, bias, mask, seeds, scale,
+                     num_heads, has_tokens, fold_mode, n_fold, attn_drop,
+                     proj_drop, interpret):
+    out = _fused_block(x, tokens, param_tuple, bias, mask, seeds, scale,
+                       num_heads, has_tokens, fold_mode, n_fold, attn_drop,
+                       proj_drop, interpret)
+    return out, (x, tokens, param_tuple, bias, mask, seeds)
 
 
-def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, interpret,
-                     res, g):
-    x, tokens, param_tuple, bias, mask = res
+def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
+                     attn_drop, proj_drop, interpret, res, g):
+    x, tokens, param_tuple, bias, mask, seeds = res
 
-    def ref(x_, tokens_, param_tuple_, bias_, mask_):
+    def ref(x_, tokens_, param_tuple_, bias_, mask_, seeds_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))
         return _block_reference(x_, tokens_ if has_tokens else None, params,
-                                bias_, mask_, scale, num_heads, fold_mode)
+                                bias_, mask_, scale, num_heads, fold_mode,
+                                n_fold, seeds_, attn_drop, proj_drop)
 
-    _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, mask)
+    _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, mask, seeds)
     return vjp(g)
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+def fold_width(m: int, n_tokens: int) -> int:
+    """Virtual-fold column count: 1 real column plus sublane-alignment
+    padding so the kernel's key/value row count is a multiple of 8."""
+    return 1 + (-(m + n_tokens + 1)) % 8
+
+
 def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
                      params: dict, pos_bias: jnp.ndarray,
                      mask: Optional[jnp.ndarray], scale: float,
                      num_heads: int, fold_mode: int = FOLD_NONE,
+                     dropout_seeds: Optional[jnp.ndarray] = None,
+                     attn_drop: float = 0.0, proj_drop: float = 0.0,
                      interpret: bool = False) -> jnp.ndarray:
     """Run the full block on windowed content tokens.
 
@@ -326,12 +391,17 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
     """
     b, p, m, c = x_win.shape
     i = 0 if tokens is None else tokens.shape[0]
-    n = m + (1 if fold_mode else 0) + i
+    n_fold = fold_width(m, i) if fold_mode else 0
+    n = m + n_fold + i
     xf = x_win.reshape(b * p, m, c)
     bias = pos_bias.reshape(num_heads, m, n)
     msk = None if mask is None else mask.reshape(p, m, n)
     param_tuple = tuple(params[k] for k in _PARAM_KEYS)
     tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x_win.dtype)
-    out = _fused_block(xf, tok_arg, param_tuple, bias, msk, scale, num_heads,
-                       tokens is not None, fold_mode, interpret)
+    if dropout_seeds is None:
+        dropout_seeds = jnp.zeros((2,), jnp.uint32)
+        attn_drop = proj_drop = 0.0
+    out = _fused_block(xf, tok_arg, param_tuple, bias, msk, dropout_seeds,
+                       scale, num_heads, tokens is not None, fold_mode,
+                       n_fold, float(attn_drop), float(proj_drop), interpret)
     return out.reshape(b, p, m, c)

@@ -45,6 +45,29 @@ def window_starts(image_size: Sequence[int], window: Sequence[int]
             tuple(len(a) for a in axes))
 
 
+def bucket_shape(cropped: Sequence[int], window: Sequence[int]
+                 ) -> Tuple[int, ...]:
+    """Round a stride-aligned cropped shape up to window multiples so a
+    heterogeneous test set shares O(#buckets) compiled programs."""
+    return tuple(int(-(-c // w) * w) for c, w in zip(cropped, window))
+
+
+def bucketed_starts(cropped: Sequence[int], window: Sequence[int]
+                    ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
+    """Window grid over the BUCKET shape plus a validity mask selecting
+    exactly the real (cropped-shape) grid.
+
+    Invalid windows get zero blend weight, so the stitched prediction
+    cropped back to ``cropped`` is bit-identical to the unbucketed run
+    (same window set, same weights).
+    """
+    bucket = bucket_shape(cropped, window)
+    _, starts, grid_shape = window_starts(bucket, window)
+    valid = np.all(starts + np.asarray(window, np.int32)
+                   <= np.asarray(cropped, np.int32), axis=1)
+    return starts, valid, grid_shape
+
+
 def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125
                          ) -> np.ndarray:
     """Separable Gaussian importance map over a window (center-weighted)."""
@@ -149,7 +172,11 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                                                 (chunk, 3))
                 batch = shard_chunk(jax.vmap(gather_window)(s_chunk))
                 probs = jax.nn.softmax(apply_fn(batch), axis=-1)
-                valid = (idx * chunk + jnp.arange(chunk)) < n_valid
+                if n_valid.ndim == 0:  # count of leading valid windows
+                    valid = (idx * chunk + jnp.arange(chunk)) < n_valid
+                else:                  # per-window validity vector [N]
+                    valid = jax.lax.dynamic_slice(n_valid, (idx * chunk,),
+                                                  (chunk,)) > 0
                 w = gauss[..., None] * valid[:, None, None, None, None]
                 return None, (probs * w, w)
 
@@ -179,10 +206,62 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
     return run
 
 
-def pad_starts(starts: np.ndarray, chunk: int) -> Tuple[np.ndarray, int]:
-    n_valid = starts.shape[0]
-    n_pad = (-n_valid) % chunk
+def pad_starts(starts: np.ndarray, chunk: int, valid: np.ndarray = None
+               ) -> Tuple[np.ndarray, "int | np.ndarray"]:
+    """Pad the window list to a chunk multiple.  Returns (starts, count)
+    or, when a per-window validity vector is given (bucketed grids),
+    (starts, padded int32 validity vector)."""
+    n = starts.shape[0]
+    n_pad = (-n) % chunk
     if n_pad:
         starts = np.concatenate(
             [starts, np.zeros((n_pad, 3), starts.dtype)])
-    return starts, n_valid
+    if valid is None:
+        return starts, n
+    v = np.concatenate([np.asarray(valid, np.int32),
+                        np.zeros((n_pad,), np.int32)])
+    return starts, v
+
+
+class BucketedInference:
+    """Gaussian sliding-window inference with shape bucketing.
+
+    One compiled program per BUCKET shape (cropped dims rounded up to
+    window multiples) instead of one per distinct volume shape — a
+    heterogeneous test set over the 40s-7min remote-compile tunnel
+    compiles O(#buckets) programs.  Exact: bucket-grid windows outside
+    the real grid carry zero blend weight, so the cropped-back result
+    equals the unbucketed run.
+    """
+
+    def __init__(self, apply_fn, window: Sequence[int], chunk: int,
+                 num_classes: int, mesh=None):
+        self.apply_fn = apply_fn
+        self.window = tuple(window)
+        self.chunk = chunk
+        self.num_classes = num_classes
+        self.mesh = mesh
+        self._runs = {}
+
+    @property
+    def compiled_programs(self) -> int:
+        return len(self._runs)
+
+    def __call__(self, cropped: np.ndarray) -> jnp.ndarray:
+        """cropped: [H', W', D', C] stride-aligned volume (already
+        center-cropped).  Returns stitched class probabilities
+        [H', W', D', num_classes]."""
+        dims = cropped.shape[:3]
+        bucket = bucket_shape(dims, self.window)
+        starts, valid, grid_shape = bucketed_starts(dims, self.window)
+        key = (bucket, grid_shape)
+        if key not in self._runs:
+            self._runs[key] = make_sliding_window_fn(
+                self.apply_fn, self.window, self.chunk, self.num_classes,
+                mode="gaussian", grid_shape=grid_shape, mesh=self.mesh)
+        pads = [(0, b - d) for b, d in zip(bucket, dims)] + [(0, 0)]
+        vol = np.pad(np.asarray(cropped), pads)
+        starts_p, vvec = pad_starts(starts, self.chunk, valid)
+        probs = self._runs[key](jnp.asarray(vol), jnp.asarray(starts_p),
+                                jnp.asarray(vvec))
+        return probs[:dims[0], :dims[1], :dims[2]]

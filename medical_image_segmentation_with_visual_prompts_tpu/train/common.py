@@ -130,6 +130,11 @@ class DeviceCtx:
         the mesh size when the loader emits a partial batch."""
         if self.mesh is None:
             return to_device(batch, exclude)
+        if jax.process_count() > 1:
+            # Multi-host: every process holds its local shard of the
+            # global batch (parallel/distributed.py).
+            from ..parallel.distributed import stage_global_batch
+            return stage_global_batch(self.mesh, batch, exclude)
         from jax.sharding import NamedSharding, PartitionSpec as P
         data = NamedSharding(self.mesh, P("data"))
         n = self.n_devices

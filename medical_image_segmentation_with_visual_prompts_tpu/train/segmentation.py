@@ -379,38 +379,34 @@ class SegmentationTrainer:
         """Stitched-volume evaluation (``test_blending: gaussian``).
 
         Uses the device-side sliding-window pipeline with Gaussian-
-        blended stitching (parallel/sliding_window.py); one compiled
-        program per distinct volume shape (cached).
+        blended stitching (parallel/sliding_window.py); volume shapes
+        are BUCKETED (rounded up to roi multiples with zero-weighted
+        filler windows) so a heterogeneous test set compiles
+        O(#buckets) programs, not O(#shapes).
         """
         import jax.numpy as jnp
-        from ..parallel import (make_sliding_window_fn, pad_starts,
-                                window_starts)
+        from ..parallel import BucketedInference, window_starts
         conf = self.hparams
         model = self.model
         num_classes = self.num_classes
         active = tuple(conf.active_labels_downstream)
         roi = tuple(conf.roi_size)
         chunk = self.dctx.round_batch(_TEST_CHUNK)
-        runs = {}
 
         def apply_fn(batch):
             return model.apply(variables, batch,
                                deterministic=True)["downstream"]
 
+        runner = BucketedInference(apply_fn, roi, chunk, num_classes,
+                                   mesh=self.dctx.mesh)
+        self._bucketed_runner = runner  # exposed for tests/diagnostics
         for step, batch in enumerate(self.train_loader):
             x = np.asarray(batch["image"])[0]
             m = np.asarray(batch["mask"])[0]
-            slices, starts, grid_shape = window_starts(x.shape[:3], roi)
+            slices, _, _ = window_starts(x.shape[:3], roi)
             x = np.ascontiguousarray(x[slices[0], slices[1], slices[2]])
             m = np.ascontiguousarray(m[slices[0], slices[1], slices[2]])
-            key = (x.shape[:3], grid_shape)
-            if key not in runs:
-                runs[key] = make_sliding_window_fn(
-                    apply_fn, roi, chunk, num_classes,
-                    mode="gaussian", grid_shape=grid_shape,
-                    mesh=self.dctx.mesh)
-            starts_p, n_valid = pad_starts(starts, chunk)
-            probs = runs[key](jnp.asarray(x), jnp.asarray(starts_p), n_valid)
+            probs = runner(x)
             pred = np.asarray(jnp.argmax(probs, axis=-1))
             seg_true = np.asarray(
                 map_label_indices(jnp.asarray(m), active)).reshape(pred.shape)

@@ -229,3 +229,62 @@ def test_ema_update_under_dp_mesh():
                                    np.asarray(want[k]), rtol=1e-6)
         # Fully replicated output (one shard spans all devices' data).
         assert blended[k].sharding.is_fully_replicated
+
+
+def test_bucketed_inference_program_count_and_exactness():
+    """5 volumes of 5 shapes -> <=2 compiled programs; results equal the
+    unbucketed per-shape run (VERDICT item 6)."""
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        BucketedInference)
+    conf, model, variables = _model_and_vars(batch=1, size=(16, 16, 8))
+    roi = (16, 16, 8)
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, deterministic=True)["downstream"]
+
+    runner = BucketedInference(apply_fn, roi, chunk=4, num_classes=2)
+    rng = np.random.default_rng(0)
+    shapes = [(24, 24, 8), (24, 32, 8), (32, 24, 8), (24, 24, 12),
+              (32, 32, 12)]
+    for shape in shapes:
+        _, starts, grid_shape = window_starts(shape, roi)
+        vol = rng.normal(0.4, 0.2, size=(*shape, 1)).astype(np.float32)
+        got = np.asarray(runner(jnp.asarray(vol)))
+        # Unbucketed reference run.
+        run = make_sliding_window_fn(apply_fn, roi, 4, 2, mode="gaussian",
+                                     grid_shape=grid_shape)
+        starts_p, n_valid = pad_starts(starts, 4)
+        want = np.asarray(run(jnp.asarray(vol), jnp.asarray(starts_p),
+                              n_valid))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # Buckets: dims round up to roi multiples -> (32,32,16) x ... count.
+    assert runner.compiled_programs <= 2, runner.compiled_programs
+
+
+def test_pad_starts_validity_vector():
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        bucketed_starts)
+    starts, valid, grid_shape = bucketed_starts((24, 24, 8), (16, 16, 8))
+    # bucket (32, 32, 8): grid 3x3x1; real grid 2x2x1.
+    assert grid_shape == (3, 3, 1)
+    assert valid.sum() == 4
+    padded, vvec = pad_starts(starts, 4, valid)
+    assert padded.shape[0] % 4 == 0
+    assert vvec.sum() == 4 and vvec.dtype == np.int32
+
+
+def test_distributed_helpers_single_process():
+    from argparse import Namespace
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel.\
+        distributed import maybe_initialize_distributed, stage_global_batch
+    # Off by default: no-op, no backend re-init.
+    assert maybe_initialize_distributed(Namespace()) is False
+    assert maybe_initialize_distributed(
+        Namespace(distributed=False)) is False
+    # Single-process staging through the multi-host assembly API.
+    mesh = make_mesh(8)
+    batch = {"image": np.ones((8, 4, 4, 2, 1), np.float32), "name": ["a"]}
+    staged = stage_global_batch(mesh, batch)
+    assert staged["image"].shape == (8, 4, 4, 2, 1)
+    assert len(staged["image"].sharding.device_set) == 8
+    assert staged["name"] == ["a"]
