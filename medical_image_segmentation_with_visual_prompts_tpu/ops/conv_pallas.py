@@ -1,0 +1,232 @@
+"""Pallas 3x3 (depth-folded) convolution with in-VMEM tap reduction.
+
+The two remaining conv hot spots (docs/PERF.md round 2) both round-trip
+a tap tensor through HBM:
+
+* seg head 48->2 at [16,128,128,8]: einsum to 54 tap columns (226 MB),
+  an XLA layout-fix copy (453 MB touched) and a 27-slice reduce —
+  ~2.05 ms;
+* decoder conv_concat 144->48 at [16,64,64,4]: ~2.14 ms as folded tap
+  matmuls.
+
+Both depth-fold to a 3x3 2D conv over ``[B, H, W, D*Cin]`` (see
+ops/conv_fold.py).  This kernel computes, per (batch, row-tile) program:
+
+    xs   <- DMA of the tile + 1 halo row each side        (bf16, VMEM)
+    xs   <- xs * scale + shift; optional leaky_relu       (folded prenorm)
+    z    = xs @ Wall[Cf, 9*Co]        one full-width MXU matmul
+    out  = sum over 9 taps of row/col-shifted z slices    (fp32, VMEM)
+
+One HBM read of x, one write of out — the tap tensor never leaves VMEM.
+W-edge effects are masked with iota row masks; H-halo rows come from a
+1-row zero pad added by the caller.  Gradients: ``jax.custom_vjp``
+differentiating the jnp depth-folded reference (conv is linear).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv_fold import conv3d_depth_folded, depth_fold_weights
+
+
+def _kernel(x_hbm, wall_ref, aff_ref, bias_ref, o_ref, xs, sem, *,
+            th: int, wdt: int, cf: int, co: int, n_h: int, leaky: bool,
+            with_affine: bool, tap_group: int):
+    b = pl.program_id(0) // n_h
+    i = pl.program_id(0) % n_h
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, th + 2)], xs, sem)
+    copy.start()
+    copy.wait()
+    x = xs[:]                                           # [th+2, W, Cf] bf16
+    if with_affine:
+        x = x * aff_ref[0].astype(x.dtype)[None, None, :] \
+            + aff_ref[1].astype(x.dtype)[None, None, :]
+    if leaky:
+        x = jnp.where(x >= 0, x, jnp.asarray(0.01, x.dtype) * x)
+    if with_affine or leaky:
+        # Conv zero-padding applies AFTER the affine prologue: re-zero
+        # the halo rows that lie outside the volume (boundary tiles).
+        row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+        lo_bad = ((row == 0) & (i == 0))
+        hi_bad = ((row == th + 1) & (i == n_h - 1))
+        x = jnp.where(lo_bad | hi_bad, jnp.asarray(0.0, x.dtype), x)
+    rows = (th + 2) * wdt
+    x2 = x.reshape(rows, cf)
+    out_rows = th * wdt
+    # W-edge masks over the OUTPUT rows (w = row % W).
+    w_of = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0) % wdt
+    not_w0 = (w_of != 0).astype(jnp.float32)
+    not_wl = (w_of != wdt - 1).astype(jnp.float32)
+    acc = bias_ref[0].astype(jnp.float32)[None, :] \
+        * jnp.ones((out_rows, 1), jnp.float32)
+    gt = tap_group
+    for g in range(9 // gt):
+        # Tap-group matmul keeps the fp32 z tile VMEM-bounded.
+        z = jax.lax.dot_general(
+            x2, wall_ref[:, g * gt * co:(g + 1) * gt * co].astype(
+                jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [rows, gt*Co]
+        zpad = jnp.zeros((8, gt * co), jnp.float32)
+        z = jnp.concatenate([zpad, z, zpad], axis=0)
+        for j in range(gt):
+            t = g * gt + j
+            ih, iw = t // 3, t % 3
+            start = 8 + wdt + (ih - 1) * wdt + (iw - 1)
+            zs = z[start:start + out_rows, j * co:(j + 1) * co]
+            if iw == 0:
+                zs = zs * not_w0
+            elif iw == 2:
+                zs = zs * not_wl
+            acc = acc + zs
+    o_ref[:] = acc.reshape(1, th, wdt, co).astype(o_ref.dtype)
+
+
+def _pick_tile(h: int, wdt: int, cf: int, co: int,
+               budget: int = 3 * 1024 * 1024):
+    """(tile height, tap group) with xs + fp32 z tile + acc in budget
+    (Mosaic stack-allocates ~2x beyond the explicit buffers)."""
+    for th in range(min(h, 32), 0, -1):
+        if h % th:
+            continue
+        for gt in (9, 3, 1):
+            xs = (th + 2) * wdt * cf * 2
+            z = ((th + 2) * wdt + 16) * gt * co * 4
+            out = th * wdt * co * 4
+            if xs + z + out <= budget:
+                return th, gt
+    return 1, 1
+
+
+def _forward(x2, w2, bias, scale, shift, leaky, out_dtype,
+             interpret=False):
+    """x2: [B, H, W, Cf]; w2: [3, 3, Cf, Co] (depth-folded weights)."""
+    b, h, wdt, cf = x2.shape
+    co = w2.shape[-1]
+    # Lane-align the folded channel count: DMA slices of a lane-padded
+    # HBM buffer must cover whole 128-lane tiles.
+    cpad = (-cf) % 128
+    if cpad:
+        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        if scale is not None:
+            scale = jnp.pad(scale, (0, cpad))
+            shift = jnp.pad(shift, (0, cpad))
+        cf += cpad
+    th, gt = _pick_tile(h, wdt, cf, co)
+    n_h = h // th
+    xp = jnp.pad(x2, ((0, 0), (1, 1), (0, 0), (0, 0)))  # H halo rows
+    wall = w2.reshape(9, cf, co).transpose(1, 0, 2).reshape(cf, 9 * co)
+    with_affine = scale is not None
+    if with_affine:
+        aff = jnp.stack([scale, shift]).astype(jnp.float32)  # [2, Cf]
+    else:
+        aff = jnp.zeros((2, cf), jnp.float32)
+    kernel = functools.partial(
+        _kernel, th=th, wdt=wdt, cf=cf, co=co, n_h=n_h, leaky=leaky,
+        with_affine=with_affine, tap_group=gt)
+    return pl.pallas_call(
+        kernel,
+        grid=(b * n_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # x stays HBM
+            pl.BlockSpec((cf, 9 * co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cf), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wdt, co),
+            lambda i: (i // n_h, i % n_h, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, co), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wdt, cf), x2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * wdt * cf * 9 * co,
+            bytes_accessed=x2.size * x2.dtype.itemsize
+            + b * h * wdt * co * 4,
+            transcendentals=0),
+        interpret=interpret or _force_interpret(),
+    )(xp, wall, aff, bias.reshape(1, co))
+
+
+def _force_interpret():
+    from . import window_attention_pallas as wap
+    return wap.force_interpret()
+
+
+def _reference(x, kernel, bias, scale, shift, leaky):
+    """jnp mirror at the 3D level (differentiable)."""
+    xf = x.astype(jnp.float32)
+    if scale is not None:
+        xf = xf * scale + shift
+    if leaky:
+        xf = jnp.where(xf >= 0, xf, 0.01 * xf)
+    return conv3d_depth_folded(xf.astype(jnp.bfloat16), kernel, bias,
+                               dtype=jnp.bfloat16).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _conv_op(x, kernel, bias, scale, shift, leaky, out_dtype, interpret):
+    b, h, wdt, d, cin = x.shape
+    co = kernel.shape[-1]
+    w2 = depth_fold_weights(kernel.astype(jnp.bfloat16), d)
+    x2 = x.astype(jnp.bfloat16).reshape(b, h, wdt, d * cin)
+    sc = None if scale is None else jnp.tile(scale, d)
+    sh = None if scale is None else jnp.tile(shift, d)
+    bias2 = jnp.tile(bias, d)
+    y2 = _forward(x2, w2, bias2, sc, sh, leaky, out_dtype, interpret)
+    return y2.reshape(b, h, wdt, d, co)
+
+
+def _conv_op_fwd(x, kernel, bias, scale, shift, leaky, out_dtype,
+                 interpret):
+    out = _conv_op(x, kernel, bias, scale, shift, leaky, out_dtype,
+                   interpret)
+    return out, (x, kernel, bias, scale, shift)
+
+
+def _conv_op_bwd(leaky, out_dtype, interpret, res, g):
+    x, kernel, bias, scale, shift = res
+    if scale is None:
+        ref = lambda x_, k_, b_: _reference(x_, k_, b_, None, None,
+                                            leaky).astype(out_dtype)
+        _, vjp = jax.vjp(ref, x, kernel, bias)
+        dx, dk, db = vjp(g.astype(out_dtype))
+        return dx, dk, db, None, None
+    ref = lambda *a: _reference(*a, leaky).astype(out_dtype)
+    _, vjp = jax.vjp(ref, x, kernel, bias, scale, shift)
+    return vjp(g.astype(out_dtype))
+
+
+_conv_op.defvjp(_conv_op_fwd, _conv_op_bwd)
+
+
+def conv3x3_fused(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                  scale: Optional[jnp.ndarray] = None,
+                  shift: Optional[jnp.ndarray] = None,
+                  leaky: bool = False, out_dtype=jnp.float32,
+                  interpret: bool = False) -> jnp.ndarray:
+    """'same' stride-1 3x3x3 conv over [B, H, W, D, Cin] with an optional
+    fused per-channel affine (+ LeakyReLU) prologue.
+
+    ``scale``/``shift`` fold a preceding (inference-mode) BatchNorm into
+    the kernel; pass None to skip.  Returns [B, H, W, D, Cout] in
+    ``out_dtype``.
+    """
+    return _conv_op(x, kernel, bias, scale, shift, leaky, out_dtype,
+                    interpret)

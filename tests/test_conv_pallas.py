@@ -1,0 +1,76 @@
+"""Pallas halo-tiled tap-matmul conv: parity vs the direct 3D conv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.ops.conv_pallas import (
+    conv3x3_fused)
+
+
+def _direct(x, k, b, scale=None, shift=None, leaky=False):
+    xf = x.astype(jnp.float32)
+    if scale is not None:
+        xf = xf * scale + shift
+    if leaky:
+        xf = jnp.where(xf >= 0, xf, 0.01 * xf)
+    y = jax.lax.conv_general_dilated(
+        xf, k.astype(jnp.float32), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+    return y + b
+
+
+@pytest.mark.parametrize("shape,cin,cout", [
+    ((2, 16, 16, 4, 6), 6, 5),       # decoder-like
+    ((1, 16, 8, 8, 4), 4, 2),        # head-like (D=8)
+    ((1, 8, 8, 1, 12), 12, 7),       # D=1
+])
+def test_conv3x3_fused_matches_direct(shape, cin, cout):
+    rng = np.random.default_rng(hash(shape) % 1000)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)
+                               ).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    want = np.asarray(_direct(x, k, b))
+    got = np.asarray(conv3x3_fused(x, k, b, interpret=True))
+    tol = 3e-2 * max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=tol)
+
+
+def test_conv3x3_fused_affine_leaky():
+    rng = np.random.default_rng(5)
+    shape, cin, cout = (1, 8, 8, 2, 6), 6, 4
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)
+                               ).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32))
+    want = np.asarray(_direct(x, k, b, scale, shift, leaky=True))
+    got = np.asarray(conv3x3_fused(x, k, b, scale, shift, leaky=True,
+                                   interpret=True))
+    tol = 3e-2 * max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=tol)
+
+
+def test_conv3x3_fused_gradients():
+    rng = np.random.default_rng(7)
+    shape, cin, cout = (1, 8, 8, 2, 4), 4, 3
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)
+                               ).astype(np.float32) * 0.2)
+    b = jnp.zeros((cout,))
+
+    def loss(x_, k_):
+        return jnp.sum(conv3x3_fused(x_, k_, b, interpret=True) ** 2)
+
+    def loss_ref(x_, k_):
+        return jnp.sum(_direct(x_, k_, b) ** 2)
+
+    gx, gk = jax.grad(loss, argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=5e-2, atol=5e-2 * np.abs(rx).max())
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               rtol=5e-2, atol=5e-2 * np.abs(rk).max())
