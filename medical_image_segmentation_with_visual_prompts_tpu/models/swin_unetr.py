@@ -33,6 +33,7 @@ import dataclasses
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import upsample_trilinear
@@ -137,24 +138,43 @@ class _ReconstructionHead(nn.Module):
 class _SegHead(nn.Module):
     """BatchNorm + 3x3x3 Conv head (ref :226-237 and :382-394).
 
-    The conv runs shift-decomposed (ops/conv_small.py): with 2-5 output
-    channels at full volume resolution a direct conv wastes >25x of the
-    MXU lane width — this was the single hottest op in the traced
-    forward (6.4 ms of 37 ms).
+    Inference on TPU runs the Pallas halo-tiled conv with the BatchNorm
+    folded in as a per-channel affine prologue (ops/conv_pallas.py): one
+    HBM read, no tap tensor round-trip.  With 2-5 output channels at
+    full volume resolution a direct conv wastes >25x of the MXU lane
+    width — this was the single hottest op in the traced forward (6.4 ms
+    of 37 ms).  Training keeps the flax BatchNorm (batch statistics) and
+    the tap/shift-decomposed conv paths.
     """
 
     out_channels: int
 
+    def setup(self):
+        self.norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                 use_running_average=None)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        from ..ops.conv_fold import conv3d_tap_matmul
+        from ..ops import window_attention_pallas as _wap
+        from ..ops.conv_fold import conv3d_depth_lanes, conv3d_tap_matmul
         from ..ops.conv_small import conv3d_small_cout
-        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                         use_running_average=deterministic, name="norm")(x)
         kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, x.shape[-1], self.out_channels))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.out_channels,))
+        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        # TPU inference: BN (running stats) folded into the depth-lanes
+        # tap einsum — 1.21 ms vs 2.33 for BN + the 27-tap shift
+        # decomposition at [16,128,128,8] (tools/bench_head_variants.py;
+        # the Pallas halo kernel loses here, 2.92 ms, to its 2.67x
+        # folded-band FLOP overhead at D=8 with tiny Cout).
+        if on_tpu and deterministic and not self.is_initializing():
+            v = self.norm.variables
+            scale = v["params"]["scale"] * jax.lax.rsqrt(
+                v["batch_stats"]["var"] + 1e-5)
+            shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
+            return conv3d_depth_lanes(x, kernel, bias, scale, shift)
+        x = self.norm(x, use_running_average=deterministic)
         if x.shape[3] <= 4:
             # Depth-folded tap matmul (27 taps -> 9) wins only at
             # shallow depth; at D=8 full volume resolution the folded

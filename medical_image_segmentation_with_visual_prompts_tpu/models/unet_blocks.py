@@ -204,12 +204,29 @@ class SwinUpBlock(nn.Module):
 
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:
+        from ..ops import window_attention_pallas as _wap
         x = upsample_trilinear(x, tuple(self.strides), align_corners=False)
         x = x[:, :c.shape[1], :c.shape[2], :c.shape[3], :]
         x = jnp.concatenate([x, c], axis=-1)
         # Reference order (unet_blocks.py:74): conv(act(norm(x))).
-        x = self.norm_concat(x, use_running_average=deterministic)
-        x = nn.leaky_relu(x, negative_slope=0.01)
-        x = self.conv_concat(x)
+        # Inference on TPU folds BN (running stats) + LeakyReLU into the
+        # Pallas halo-tiled conv prologue (ops/conv_pallas.py): one HBM
+        # read instead of norm/act/conv round trips.
+        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        if (on_tpu and deterministic and not self.is_initializing()
+                and tuple(self.kernel_size) == (3, 3, 3)):
+            from ..ops.conv_pallas import conv3x3_fused
+            v = self.norm_concat.variables
+            scale = v["params"]["scale"] * jax.lax.rsqrt(
+                v["batch_stats"]["var"] + 1e-5)
+            shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
+            cp = self.conv_concat.conv.variables["params"]
+            x = conv3x3_fused(x, cp["kernel"], cp["bias"], scale, shift,
+                              leaky=True,
+                              out_dtype=self.dtype or jnp.float32)
+        else:
+            x = self.norm_concat(x, use_running_average=deterministic)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = self.conv_concat(x)
         x = self.swin_layer(x, p, deterministic=deterministic)
         return x

@@ -83,6 +83,46 @@ def conv3d_tap_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
+def conv3d_depth_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
+                       scale=None, shift=None,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    """'same'-padded stride-1 3x3x3 conv: ONE einsum to all 9 (H,W) taps
+    of the depth-folded weights (lanes = 9*D*Cout), one zero-pad, nine
+    static slice-adds accumulated in fp32.
+
+    The win over ``conv3d_tap_matmul`` / ``conv_small``: the tap tensor
+    is written once in a layout the reduce can consume (no XLA
+    layout-fix copy), every lane of the tap matmul is useful even for
+    2-channel heads, and only 9 shifted adds remain (depth taps ride the
+    lane dim).  Traced 1.21 ms vs 2.33 for the 48->2 seg head at
+    [16,128,128,8] (tools/bench_head_variants.py).  ``scale``/``shift``
+    fold a preceding inference-mode BatchNorm; XLA fuses them into the
+    einsum's read.  Returns fp32.
+    """
+    b, h, w, d, cin = x.shape
+    cout = kernel.shape[-1]
+    y = x
+    if scale is not None:
+        y = y * scale + shift
+    x2 = y.astype(dtype).reshape(b, h, w, d * cin)
+    w2 = depth_fold_weights(kernel.astype(dtype), d)   # [3,3,D*Cin,D*Cout]
+    wall = w2.transpose(2, 0, 1, 3).reshape(d * cin, 9 * d * cout)
+    z = jnp.einsum("bhwc,co->bhwo", x2, wall)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b, h, w, d * cout), jnp.float32)
+    idx = 0
+    for ih in range(3):
+        for iw in range(3):
+            tap = zp[:, ih:ih + h, iw:iw + w,
+                     idx * d * cout:(idx + 1) * d * cout]
+            out = out + tap.astype(jnp.float32)
+            idx += 1
+    out = out.reshape(b, h, w, d, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def fold_plan(x_shape, kernel_size, strides, padding, features):
     """Pick a folded implementation, or None for the direct conv.
 

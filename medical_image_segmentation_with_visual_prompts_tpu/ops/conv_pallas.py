@@ -40,18 +40,35 @@ from .conv_fold import conv3d_depth_folded, depth_fold_weights
 def _kernel(x_hbm, wall_ref, aff_ref, bias_ref, o_ref, xs, sem, *,
             th: int, wdt: int, cf: int, co: int, n_h: int, leaky: bool,
             with_affine: bool, tap_group: int):
-    b = pl.program_id(0) // n_h
-    i = pl.program_id(0) % n_h
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2)], xs, sem)
-    copy.start()
-    copy.wait()
-    x = xs[:]                                           # [th+2, W, Cf] bf16
+    step = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+    i = step % n_h
+
+    # Double-buffered input DMA: scratch persists across the sequential
+    # grid, so program ``step`` prefetches ``step+1``'s tile while its
+    # own (started by ``step-1``) completes.
+    def dma(s, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[s // n_h, pl.ds((s % n_h) * th, th + 2)],
+            xs.at[slot], sem.at[slot])
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < n_prog)
+    def _():
+        dma(step + 1, (step + 1) % 2).start()
+
+    dma(step, step % 2).wait()
+    x = xs[step % 2]                                    # [th+2, W, Cf] bf16
     if with_affine:
         x = x * aff_ref[0].astype(x.dtype)[None, None, :] \
             + aff_ref[1].astype(x.dtype)[None, None, :]
     if leaky:
-        x = jnp.where(x >= 0, x, jnp.asarray(0.01, x.dtype) * x)
+        # max(x, 0.01*x) == leaky_relu for slope<1; Mosaic has no bf16
+        # cmpf, so avoid jnp.where on bf16 operands.
+        x = jnp.maximum(x, jnp.asarray(0.01, x.dtype) * x)
     if with_affine or leaky:
         # Conv zero-padding applies AFTER the affine prologue: re-zero
         # the halo rows that lie outside the volume (boundary tiles).
@@ -92,14 +109,15 @@ def _kernel(x_hbm, wall_ref, aff_ref, bias_ref, o_ref, xs, sem, *,
 
 
 def _pick_tile(h: int, wdt: int, cf: int, co: int,
-               budget: int = 3 * 1024 * 1024):
-    """(tile height, tap group) with xs + fp32 z tile + acc in budget
-    (Mosaic stack-allocates ~2x beyond the explicit buffers)."""
+               budget: int = 4 * 1024 * 1024):
+    """(tile height, tap group) with 2x xs (double buffer) + fp32 z tile
+    + acc in budget (Mosaic stack-allocates beyond the explicit
+    buffers)."""
     for th in range(min(h, 32), 0, -1):
         if h % th:
             continue
         for gt in (9, 3, 1):
-            xs = (th + 2) * wdt * cf * 2
+            xs = 2 * (th + 2) * wdt * cf * 2
             z = ((th + 2) * wdt + 16) * gt * co * 4
             out = th * wdt * co * 4
             if xs + z + out <= budget:
@@ -152,8 +170,8 @@ def _forward(x2, w2, bias, scale, shift, leaky, out_dtype,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wdt, co), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wdt, cf), x2.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, wdt, cf), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * wdt * cf * 9 * co,

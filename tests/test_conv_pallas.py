@@ -74,3 +74,57 @@ def test_conv3x3_fused_gradients():
                                rtol=5e-2, atol=5e-2 * np.abs(rx).max())
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
                                rtol=5e-2, atol=5e-2 * np.abs(rk).max())
+
+
+def test_seghead_fused_path_matches_module(monkeypatch):
+    """_SegHead's TPU inference path (BN folded into the depth-lanes
+    tap einsum) matches the flax BatchNorm + conv module path."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models.swin_unetr \
+        import _SegHead
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import \
+        window_attention_pallas as wap
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 6)).astype(np.float32))
+    m = _SegHead(2)  # D=8: the depth-lanes fused head path
+    v = m.init(jax.random.PRNGKey(0), x)
+    # Non-trivial BN statistics and affine so the fold is exercised.
+    v = jax.tree_util.tree_map(lambda t: t, v)
+    v["batch_stats"]["norm"]["mean"] = jnp.asarray(
+        rng.normal(size=(6,)).astype(np.float32))
+    v["batch_stats"]["norm"]["var"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=(6,)).astype(np.float32))
+    v["params"]["norm"]["scale"] = jnp.asarray(
+        rng.normal(1.0, 0.2, size=(6,)).astype(np.float32))
+    v["params"]["norm"]["bias"] = jnp.asarray(
+        rng.normal(size=(6,)).astype(np.float32))
+    want = np.asarray(m.apply(v, x, deterministic=True))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    got = np.asarray(m.apply(v, x, deterministic=True))
+    tol = 3e-2 * max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=tol)
+
+
+def test_swin_up_block_fused_path_matches_module(monkeypatch):
+    """SwinUpBlock's TPU inference path (BN+LeakyReLU folded into the
+    Pallas conv prologue) matches the unfused norm/act/conv path."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models.unet_blocks \
+        import SwinUpBlock
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import \
+        window_attention_pallas as wap
+    rng = np.random.default_rng(13)
+    m = SwinUpBlock(in_channels=12, out_channels=6, strides=(2, 2, 2),
+                    kernel_size=(3, 3, 3), pos_bias_embed_dim=8,
+                    num_heads=2, window_size=(4, 4, 2), max_prompts=0,
+                    tokens_per_prompt=0, use_token_params=False)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2, 12)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 6)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, c)
+    v["batch_stats"]["norm_concat"]["mean"] = jnp.asarray(
+        rng.normal(size=(18,)).astype(np.float32) * 0.3)
+    v["batch_stats"]["norm_concat"]["var"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=(18,)).astype(np.float32))
+    want = np.asarray(m.apply(v, x, c, deterministic=True))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    got = np.asarray(m.apply(v, x, c, deterministic=True))
+    tol = 4e-2 * max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=tol)
