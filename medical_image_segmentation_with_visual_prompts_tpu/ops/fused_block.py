@@ -215,6 +215,11 @@ def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
     s = jnp.einsum("xmhd,xnhd->xhmn", qh, kh) * scale
     s = s + bias[None]
     if mask is not None:
+        # mask is per WINDOW POSITION ([p, m, n]); x rows are
+        # batch-major (b*p) — tile over the batch like the kernel's
+        # ``idx % pg`` block indexing does.
+        if mask.shape[0] != bp:
+            mask = jnp.tile(mask, (bp // mask.shape[0], 1, 1))
         s = s * mask[:, None]
     probs = jax.nn.softmax(s, axis=-1)
     n = kh.shape[1]

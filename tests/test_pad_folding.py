@@ -134,3 +134,32 @@ def test_head_block_chunking_matches(monkeypatch):
                             bias.reshape(h, m, n), None, scale, h)
     np.testing.assert_allclose(np.asarray(chunked).reshape(b * p_, m, c),
                                np.asarray(want), rtol=4e-2, atol=4e-2)
+
+
+def test_folded_gradients_batch2_masked(monkeypatch):
+    """Regression: batch > 1 with an active shift mask — the backward's
+    jnp reference must tile the per-window-position mask over the batch
+    the way the kernel's block indexing does (bp = B*P > P)."""
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    c, tokens = 8, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 2, c))
+    p = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, tokens, c)),
+        (2, tokens, c))
+    blk = _block((2, 2, 2), tokens, 2, c, impl="auto")
+    params = blk.init(jax.random.PRNGKey(2), x, p)
+
+    def loss(pr, x_, p_):
+        return jnp.sum(blk.apply(pr, x_, p_).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(params, x, p)
+    blk_ref = _block((2, 2, 2), tokens, 2, c, impl="xla")
+    grads_ref = jax.grad(
+        lambda pr, x_, p_: jnp.sum(
+            blk_ref.apply(pr, x_, p_).astype(jnp.float32) ** 2)
+    )(params, x, p)
+    for g, gr in zip(jax.tree_util.tree_leaves(grads),
+                     jax.tree_util.tree_leaves(grads_ref)):
+        g, gr = np.asarray(g), np.asarray(gr)
+        np.testing.assert_allclose(
+            g, gr, rtol=8e-2, atol=2e-2 * max(1.0, np.abs(gr).max()))
