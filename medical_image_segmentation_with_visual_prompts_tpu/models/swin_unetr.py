@@ -30,7 +30,7 @@ Layout: channels-last ``[B, H, W, D, C]`` (TPU lane dim = channels).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -148,6 +148,7 @@ class _SegHead(nn.Module):
     """
 
     out_channels: int
+    compute_dtype: Any = jnp.bfloat16
 
     def setup(self):
         self.norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
@@ -180,9 +181,11 @@ class _SegHead(nn.Module):
             # shallow depth; at D=8 full volume resolution the folded
             # tap fusions regressed in-model (traced 4.97 ms vs 2.05 for
             # the 27-tap shift decomposition) — keep conv_small there.
-            out = conv3d_tap_matmul(x, kernel, bias, dtype=jnp.bfloat16)
+            out = conv3d_tap_matmul(x, kernel, bias,
+                                    dtype=self.compute_dtype)
         else:
-            out = conv3d_small_cout(x, kernel, bias)
+            out = conv3d_small_cout(x, kernel, bias,
+                                    compute_dtype=self.compute_dtype)
         return out.astype(jnp.float32)
 
 
@@ -269,10 +272,12 @@ class SwinUnetR(nn.Module):
             self._setup_decoder()
             if mode in _SUPERVISED_MODES:
                 self.head_segmentation = _SegHead(
-                    conf.output_channels_pretrain, name="head_segmentation")
+                    conf.output_channels_pretrain, conf.dtype,
+                    name="head_segmentation")
         if mode == "downstream":
             self.head_downstream = _SegHead(
-                conf.output_channels_downstream, name="head_downstream")
+                conf.output_channels_downstream, conf.dtype,
+                name="head_downstream")
 
     def _setup_decoder(self):
         conf = self.conf

@@ -1,0 +1,54 @@
+"""Full-model forward parity against the LIVE reference implementation.
+
+Runs the actual reference PyTorch ``SwinUnetR`` (/root/reference/src,
+executed read-only with a minimal MONAI stub), imports its state_dict
+through utils/torch_import.py, and asserts our forward matches —
+the end-to-end evidence for BASELINE.md's Dice-parity target (the
+per-window eval protocol of reference segmentation.py:204-300 reduces
+to this forward agreement).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT / "tools"))
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path("/root/reference/src").is_dir(),
+    reason="reference checkout not mounted")
+
+
+def _run(mode, size=(16, 16, 8), batch=2):
+    import parity_vs_reference as pvr
+    hparams = pvr.build_hparams(
+        str(ROOT / "configurations" / "tiny_cpu.yml"), mode, size)
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(0.3, 0.2, size=(batch, *size, 1)).astype(np.float32)
+    sd, ref_out = pvr.reference_forward(hparams, x_np)
+    our_out, report = pvr.ours_forward(hparams, sd, x_np)
+    assert not report["unmatched_torch_keys"], \
+        report["unmatched_torch_keys"]
+    return list(pvr.compare(ref_out, our_out, mode))
+
+
+def test_downstream_forward_matches_reference():
+    pairs = _run("downstream")
+    for name, r, o in pairs:
+        assert r.shape == o.shape, name
+        scale = max(np.abs(r).max(), 1e-6)
+        np.testing.assert_array_less(
+            np.abs(r - o).max() / scale, 1e-4, err_msg=name)
+    # The evaluation protocol's label agreement is exact.
+    (_, r, o), = [p for p in pairs if p[0] == "downstream"]
+    import parity_vs_reference as pvr
+    assert pvr.dice_of_argmax(r, o) == 1.0
+
+
+def test_ssl_decoder_forward_matches_reference():
+    for name, r, o in _run("self_supervised_learning_decoder"):
+        scale = max(np.abs(r).max(), 1e-6)
+        assert np.abs(r - o).max() / scale < 1e-4, name
