@@ -120,7 +120,11 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     dot = lambda a, b: jax.lax.dot_general(
         a, b, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    q = dot(y16[:, :m], wq_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    # ``scale`` is folded into q at the fp32->bf16 cast: the q·k logits
+    # come out of the MXU already scaled, saving one fp32 pass over the
+    # much larger [g, hb*m, n] score tile per head block.
+    q = (dot(y16[:, :m], wq_ref[:].astype(jnp.bfloat16))
+         * jnp.float32(scale)).astype(jnp.bfloat16)
     k = dot(yk.astype(jnp.bfloat16),
             wk_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
     v = dot(yv.astype(jnp.bfloat16),
@@ -137,7 +141,7 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
                              axis=1)                      # [g, hb*m, c]
         s = jax.lax.dot_general(
             qp, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # [g, hb*m, n]
+            preferred_element_type=jnp.float32)           # [g, hb*m, n]
         s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
         if with_mask:
             s = s * jnp.concatenate([mask] * hb, axis=1)

@@ -47,12 +47,15 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     g, h = group, num_heads
     m, dh = q_ref.shape[2], q_ref.shape[3]
     n = k_ref.shape[2]
-    q = q_ref[:].astype(jnp.bfloat16).reshape(g * h, m, dh)
+    # scale folded into q pre-matmul (fp32): saves one fp32 pass over
+    # the h-times-larger [g, h, m, n] score tile.
+    q = (q_ref[:].astype(jnp.float32) * jnp.float32(scale)) \
+        .astype(jnp.bfloat16).reshape(g * h, m, dh)
     k = k_ref[:].astype(jnp.bfloat16).reshape(g * h, n, dh)
     v = v_ref[:].astype(jnp.bfloat16).reshape(g * h, n, dh)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(g, h, m, n) * scale
+        preferred_element_type=jnp.float32).reshape(g, h, m, n)
     s = s + bias_ref[:].astype(jnp.float32)[None]
     if with_mask:
         s = s * mask_ref[:].astype(jnp.float32)[:, None]
@@ -159,7 +162,10 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, colmask_ref,
     g, h = group, num_heads
     m, c = q_ref.shape[1], q_ref.shape[2]
     n = k_ref.shape[1]
-    q = q_ref[:].astype(jnp.bfloat16)            # [g, m, C]
+    # scale folded into q pre-matmul (fp32): saves one fp32 pass over
+    # the h-times-larger [g, h*m, n] score tile.
+    q = (q_ref[:].astype(jnp.float32) * jnp.float32(scale)) \
+        .astype(jnp.bfloat16)                    # [g, m, C]
     colmask = colmask_ref[:].astype(jnp.bfloat16)  # [h, C]
     # Block-diagonal queries: concat per-head masked copies -> [g, h*m, C].
     qp = jnp.concatenate([q * colmask[hh][None, None, :]
@@ -168,7 +174,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, colmask_ref,
     v = v_ref[:].astype(jnp.bfloat16)
     s = jax.lax.dot_general(
         qp, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # [g, h*m, n]
+        preferred_element_type=jnp.float32)      # [g, h*m, n]
     s = s + bias_ref[:].astype(jnp.float32)[None]    # [(h m), n] broadcast
     if with_mask:
         mask = mask_ref[:].astype(jnp.float32)       # [g, m, n]
