@@ -208,6 +208,56 @@ class SwinTransformerBlock(nn.Module):
                   pads_eff[4]: x.shape[3] - pads_eff[5], :]
         return x
 
+    def _drop_kw(self, deterministic: bool) -> dict:
+        """Kernel dropout kwargs (counter-based seeds) when active."""
+        if deterministic or (self.attn_drop == 0.0 and self.proj_drop == 0.0):
+            return {}
+        return dict(
+            dropout_seeds=jax.random.bits(self.make_rng("dropout"),
+                                          (2,), jnp.uint32),
+            attn_drop=self.attn_drop, proj_drop=self.proj_drop)
+
+    def fused_on_windows(self, x_win: jnp.ndarray, p: Optional[jnp.ndarray],
+                         shape_x: Sequence[int],
+                         deterministic: bool = True) -> jnp.ndarray:
+        """Run the fused block kernel on already-partitioned windows.
+
+        Used by the pair-fused path (ConsecutiveSwinBlocks): the caller
+        keeps the tensor in window-major ``[B, P, M, C]`` layout across
+        the (no-shift, shift) pair, applying the cyclic shift with
+        :func:`..ops.windows.window_shift` instead of
+        reverse→roll→partition.  Only valid when ``shape_x`` needs no
+        padding (every axis a window multiple).
+        """
+        window_size = tuple(self.window_size)
+        shift_size = self.get_shift_size(tuple(shape_x))
+        n_tokens = 0 if p is None else p.shape[1]
+        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
+                           n_tokens)[:, None]      # [1, 1, heads, N, N]
+        if any(s > 0 for s in shift_size):
+            attn_mask = get_attn_mask(tuple(shape_x), window_size,
+                                      shift_size, (0,) * 6)  # np [P, N, N]
+            if p is not None:
+                pwin, nwin, _ = attn_mask.shape
+                total = np.zeros((pwin, nwin + n_tokens, nwin + n_tokens),
+                                 dtype=np.float32)
+                total[:, :nwin, :nwin] = attn_mask
+                total[:, :nwin, nwin:] = 1.0
+                attn_mask = total
+            attn_mask = jnp.asarray(attn_mask)[None, :, None]
+        else:
+            attn_mask = None
+        n_content = x_win.shape[2]
+        bias_rows = pos_bias[:, :, :, :n_content, :]
+        mask_rows = None if attn_mask is None \
+            else attn_mask[:, :, :, :n_content, :]
+        from ..ops.fused_block import fused_swin_block
+        head_dim = self.hidden_channels // self.num_heads
+        return fused_swin_block(
+            x_win, p[0] if p is not None else None, self._block_params(),
+            bias_rows, mask_rows, head_dim ** -0.5, self.num_heads,
+            **self._drop_kw(deterministic))
+
     def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                           deterministic: bool) -> jnp.ndarray:
         b, h, w, d, c = x.shape
@@ -395,10 +445,48 @@ class ConsecutiveSwinBlocks(nn.Module):
                 dtype=self.dtype,
             )
 
+    def _pair_fusable(self, shape_x, deterministic: bool) -> bool:
+        """Both blocks can run on shared window-major layout: fused
+        kernel available, no padding/folding needed, and remat is not
+        requested for this pass (remat stays per-block)."""
+        from .window_attention import _use_pallas
+        if self.is_initializing():
+            return False
+        if not _use_pallas(self.attn_impl, True, 0.0):
+            return False
+        if self.use_checkpoint and not deterministic:
+            return False
+        if any(d < w or d % w
+               for d, w in zip(shape_x, self.window_size)):
+            return False
+        return True
+
     def __call__(self, x: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:
-        for i, blk in enumerate(self.swin_blocks):
-            x = blk(x, p[i], deterministic=deterministic)
+        shape_x = tuple(x.shape[1:4])
+        if self._pair_fusable(shape_x, deterministic):
+            # Pair fusion: one partition + one reverse for BOTH blocks;
+            # the shifted block's cyclic roll runs in window-major
+            # layout (ops/windows.py::window_shift), eliminating two 8-D
+            # transposes and two spatial rolls per pair.
+            from ..ops.windows import window_shift
+            w = tuple(self.window_size)
+            grid = tuple(d // ws for d, ws in zip(shape_x, w))
+            x_win = window_partition(x, w)
+            x_win = self.swin_blocks[0].fused_on_windows(
+                x_win, p[0], shape_x, deterministic)
+            shift = self.swin_blocks[1].get_shift_size(shape_x)
+            shifted = any(s > 0 for s in shift)
+            if shifted:
+                x_win = window_shift(x_win, grid, w, shift)
+            x_win = self.swin_blocks[1].fused_on_windows(
+                x_win, p[1], shape_x, deterministic)
+            if shifted:
+                x_win = window_shift(x_win, grid, w, shift, inverse=True)
+            x = window_reverse(x_win, w, shape_x)
+        else:
+            for i, blk in enumerate(self.swin_blocks):
+                x = blk(x, p[i], deterministic=deterministic)
         if self.down:
             x = self.merge(x)
         return x

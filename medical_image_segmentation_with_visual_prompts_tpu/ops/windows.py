@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,3 +117,42 @@ def compute_paddings(shape_x: Sequence[int],
         else:
             pads.extend([math.floor((ws - rem) / 2), math.ceil((ws - rem) / 2)])
     return tuple(pads)
+
+
+def window_shift(x_win: jnp.ndarray, grid: Sequence[int],
+                 window_size: Sequence[int], shift_size: Sequence[int],
+                 inverse: bool = False) -> jnp.ndarray:
+    """Apply the cyclic shift directly in window-major layout.
+
+    Equivalent to ``window_partition(roll(window_reverse(x_win), -s))``
+    (or the inverse with ``+s``) but WITHOUT the two 8-D transposes: in
+    the dilated factoring ``pos = i * p + π`` (window_partition above), a
+    spatial roll by ``-s`` with ``s < p`` maps ``(π, i) → ((π+s) mod p,
+    i + [π+s ≥ p])`` — a window-index slice/concat plus a one-step token
+    roll on the wrapped slab, per axis.  Pure slicing, XLA fuses it.
+
+    Args:
+      x_win: ``[B, P, M, C]`` from :func:`window_partition`.
+      grid: windows per axis ``(p1, p2, p3)``.
+      shift_size: per-axis shift ``s`` (each ``< grid[ax]``).
+      inverse: undo the shift (``roll(+s)`` equivalent).
+    """
+    b, p_tot, m_tot, c = x_win.shape
+    y = x_win.reshape(b, *grid, *window_size, c)
+    for ax in range(3):
+        s = shift_size[ax]
+        if s == 0:
+            continue
+        wa, ia = 1 + ax, 4 + ax
+        p = grid[ax]
+        if not inverse:
+            top = jax.lax.slice_in_dim(y, s, p, axis=wa)
+            bot = jnp.roll(jax.lax.slice_in_dim(y, 0, s, axis=wa),
+                           -1, axis=ia)
+            y = jnp.concatenate([top, bot], axis=wa)
+        else:
+            top = jnp.roll(jax.lax.slice_in_dim(y, p - s, p, axis=wa),
+                           1, axis=ia)
+            bot = jax.lax.slice_in_dim(y, 0, p - s, axis=wa)
+            y = jnp.concatenate([top, bot], axis=wa)
+    return y.reshape(b, p_tot, m_tot, c)

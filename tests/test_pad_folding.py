@@ -163,3 +163,56 @@ def test_folded_gradients_batch2_masked(monkeypatch):
         g, gr = np.asarray(g), np.asarray(gr)
         np.testing.assert_allclose(
             g, gr, rtol=8e-2, atol=2e-2 * max(1.0, np.abs(gr).max()))
+
+
+def _pair(tokens, heads, c, window=(4, 4, 2), impl="auto",
+          use_checkpoint=False):
+    from medical_image_segmentation_with_visual_prompts_tpu.models. \
+        swin_block import ConsecutiveSwinBlocks
+    return ConsecutiveSwinBlocks(
+        hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=tokens,
+        use_token_params=tokens > 0, window_size=window, down=False,
+        use_checkpoint=use_checkpoint, attn_impl=impl)
+
+
+def test_pair_fused_path_matches_per_block(monkeypatch):
+    """ConsecutiveSwinBlocks' window-major pair fusion (partition once,
+    window_shift for the roll) must match the per-block XLA path."""
+    c, tokens, heads = 8, 3, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4, c))
+    ps = []
+    for i in range(2):
+        pp = jax.random.normal(jax.random.PRNGKey(10 + i), (1, tokens, c))
+        ps.append(jnp.broadcast_to(pp, (2, tokens, c)))
+    ref = _pair(tokens, heads, c, impl="xla")
+    params = ref.init(jax.random.PRNGKey(2), x, tuple(ps))
+    want = ref.apply(params, x, tuple(ps))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    fused = _pair(tokens, heads, c, impl="auto")
+    got = fused.apply(params, x, tuple(ps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_pair_fused_gradients(monkeypatch):
+    """Gradients flow through window_shift + both kernels' custom VJPs."""
+    c, tokens, heads = 8, 0, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4, c))
+    ref = _pair(tokens, heads, c, impl="xla")
+    params = ref.init(jax.random.PRNGKey(2), x, (None, None))
+
+    def loss(blk):
+        def f(pr, x_):
+            out = blk.apply(pr, x_, (None, None), deterministic=False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    grads_ref = jax.grad(loss(ref))(params, x)
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    grads = jax.grad(loss(_pair(tokens, heads, c, impl="auto")))(params, x)
+    for g, gr in zip(jax.tree_util.tree_leaves(grads),
+                     jax.tree_util.tree_leaves(grads_ref)):
+        g, gr = np.asarray(g), np.asarray(gr)
+        np.testing.assert_allclose(
+            g, gr, rtol=8e-2, atol=2e-2 * max(1.0, np.abs(gr).max()))

@@ -80,3 +80,22 @@ def test_attn_mask_zero_shift_axis_matches_reference_slicing():
     m_3d = get_attn_mask((8, 8, 4), (4, 4, 4), (2, 2, 2), (0,) * 6)
     # Removing one shifted axis can only unblock pairs, never block more.
     assert np.all(m_shift_d0 >= m_3d)
+
+
+def test_window_shift_matches_roll_roundtrip():
+    """window_shift == partition(roll(reverse(.))) in both directions."""
+    import jax
+    import jax.numpy as jnp
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows \
+        import window_partition, window_reverse, window_shift
+    shape, w = (16, 16, 4), (4, 4, 2)
+    grid = tuple(s // ws for s, ws in zip(shape, w))
+    for shift in [(2, 2, 1), (2, 2, 0), (1, 3, 0)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, *shape, 3))
+        x_win = window_partition(x, w)
+        want = window_partition(
+            jnp.roll(x, tuple(-s for s in shift), axis=(1, 2, 3)), w)
+        got = window_shift(x_win, grid, w, shift)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        back = window_shift(got, grid, w, shift, inverse=True)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x_win))
