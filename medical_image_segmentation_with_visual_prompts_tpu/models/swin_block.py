@@ -39,6 +39,17 @@ from .window_attention import WindowAttention
 _xavier = nn.initializers.xavier_uniform()
 
 
+def fold_geometry(dims, window_size, fold_axes, paddings):
+    """(content window ``wc``, effective paddings) for pad-folding: folded
+    axes use the feature extent as the window and are never materially
+    padded; other axes keep the attention window and their paddings."""
+    wc = tuple(dims[i] if i in fold_axes else window_size[i]
+               for i in range(3))
+    pads_eff = tuple(0 if (i // 2) in fold_axes else paddings[i]
+                     for i in range(6))
+    return wc, pads_eff
+
+
 class SwinTransformerBlock(nn.Module):
     hidden_channels: int
     window_size: Sequence[int]
@@ -104,7 +115,7 @@ class SwinTransformerBlock(nn.Module):
 
     def _forward_folded(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                         window_size, shift_size, paddings,
-                        fold_axes, drop_kw=None) -> jnp.ndarray:
+                        fold_axes, deterministic=True) -> jnp.ndarray:
         """Fused-block forward with pad-folding on ``fold_axes``.
 
         Axes whose feature extent is smaller than the window are NOT
@@ -114,17 +125,43 @@ class SwinTransformerBlock(nn.Module):
         computation observes — the interior-relabel-100 mask quirk, the
         multiplicative exp(0) contribution of masked pads, the
         positional-bias columns of unmasked pads — is reproduced via the
-        assembled bias/mask below.
+        assembled bias/mask in :meth:`folded_on_windows`.
         """
+        dims = tuple(x.shape[1:4])
+        wc, pads_eff = fold_geometry(dims, window_size, fold_axes, paddings)
+        if any(pp > 0 for pp in pads_eff):
+            x = jnp.pad(x, ((0, 0), (pads_eff[0], pads_eff[1]),
+                            (pads_eff[2], pads_eff[3]),
+                            (pads_eff[4], pads_eff[5]), (0, 0)))
+        hp, wp, dp = x.shape[1:4]
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x = jnp.roll(x, shift=tuple(-s for s in shift_size),
+                         axis=(1, 2, 3))
+        x_win = window_partition(x, wc)             # [B, P, Mc, C]
+        x_win = self.folded_on_windows(x_win, p, dims, window_size,
+                                       shift_size, paddings, fold_axes,
+                                       deterministic)
+        x = window_reverse(x_win, wc, (hp, wp, dp))
+        if shifted:
+            x = jnp.roll(x, shift=tuple(shift_size), axis=(1, 2, 3))
+        if any(pp > 0 for pp in pads_eff):
+            x = x[:, pads_eff[0]: x.shape[1] - pads_eff[1],
+                  pads_eff[2]: x.shape[2] - pads_eff[3],
+                  pads_eff[4]: x.shape[3] - pads_eff[5], :]
+        return x
+
+    def folded_on_windows(self, x_win: jnp.ndarray,
+                          p: Optional[jnp.ndarray], dims, window_size,
+                          shift_size, paddings, fold_axes,
+                          deterministic=True) -> jnp.ndarray:
+        """Pad-folded fused kernel on already-partitioned ``wc`` windows
+        (bias/mask/virtual-column assembly; no spatial-layout ops)."""
         from ..ops.fused_block import (FOLD_COUNT, FOLD_KEY, fold_width,
                                        fused_swin_block)
-        b, h, w, d, c = x.shape
-        dims = (h, w, d)
         n_tokens = 0 if p is None else p.shape[1]
-        # Effective (content) window and the content-token index set
-        # within the full window's (ih, iw, id) row-major ordering.
-        wc = tuple(dims[i] if i in fold_axes else window_size[i]
-                   for i in range(3))
+        # Content-token index set within the full window's (ih, iw, id)
+        # row-major ordering.
         keep = []
         for i in range(3):
             if i in fold_axes:
@@ -141,16 +178,6 @@ class SwinTransformerBlock(nn.Module):
         # Fold block width: 1 real virtual column + sublane-alignment
         # columns neutralized with a -1e30 bias.
         n_fold = fold_width(m_c, n_tokens)
-
-        # Pad/roll only the non-folded axes (folded axes have shift 0 by
-        # the adaptive-shift rule and are never materially padded).
-        pads_eff = tuple(0 if (i // 2) in fold_axes else paddings[i]
-                         for i in range(6))
-        if any(pp > 0 for pp in pads_eff):
-            x = jnp.pad(x, ((0, 0), (pads_eff[0], pads_eff[1]),
-                            (pads_eff[2], pads_eff[3]),
-                            (pads_eff[4], pads_eff[5]), (0, 0)))
-        hp, wp, dp = x.shape[1:4]
         padded_full = tuple(dims[i] + paddings[2 * i] + paddings[2 * i + 1]
                             for i in range(3))
 
@@ -162,8 +189,6 @@ class SwinTransformerBlock(nn.Module):
 
         shifted = any(s > 0 for s in shift_size)
         if shifted:
-            x = jnp.roll(x, shift=tuple(-s for s in shift_size),
-                         axis=(1, 2, 3))
             # Masked pad columns each contribute exp(0): fold into one
             # unmasked column with zero key and bias ln(n_pad).
             fold_col = jnp.full((pos_bias.shape[0], m_c, 1),
@@ -193,20 +218,11 @@ class SwinTransformerBlock(nn.Module):
         bias = jnp.concatenate([bias_cc, fold_col, bias_cp], axis=-1)
         bias = bias[None, None]                     # [1, 1, H, Mc, N']
 
-        x_win = window_partition(x, wc)             # [B, P, Mc, C]
         head_dim = self.hidden_channels // self.num_heads
-        x_win = fused_swin_block(
+        return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias, mask, head_dim ** -0.5, self.num_heads,
-            fold_mode=fold_mode, **(drop_kw or {}))
-        x = window_reverse(x_win, wc, (hp, wp, dp))
-        if shifted:
-            x = jnp.roll(x, shift=tuple(shift_size), axis=(1, 2, 3))
-        if any(pp > 0 for pp in pads_eff):
-            x = x[:, pads_eff[0]: x.shape[1] - pads_eff[1],
-                  pads_eff[2]: x.shape[2] - pads_eff[3],
-                  pads_eff[4]: x.shape[3] - pads_eff[5], :]
-        return x
+            fold_mode=fold_mode, **self._drop_kw(deterministic))
 
     def _drop_kw(self, deterministic: bool) -> dict:
         """Kernel dropout kwargs (counter-based seeds) when active."""
@@ -275,22 +291,16 @@ class SwinTransformerBlock(nn.Module):
         # the kernel: counter-based masks (ops/prng.py) are regenerated
         # bit-exactly by the custom_vjp's jnp backward.
         from .window_attention import _use_pallas
-        dropout_active = (not deterministic) and (
-            self.attn_drop > 0.0 or self.proj_drop > 0.0)
         use_fused_block = (
             not self.is_initializing()
             and _use_pallas(self.attn_impl, True, 0.0))
-        drop_kw = {}
-        if use_fused_block and dropout_active:
-            drop_kw = dict(
-                dropout_seeds=jax.random.bits(self.make_rng("dropout"),
-                                              (2,), jnp.uint32),
-                attn_drop=self.attn_drop, proj_drop=self.proj_drop)
         fold_axes = tuple(i for i, dim in enumerate((h, w, d))
                           if dim < self.window_size[i])
         if use_fused_block and fold_axes:
             return self._forward_folded(x, p, window_size, shift_size,
-                                        paddings, fold_axes, drop_kw)
+                                        paddings, fold_axes, deterministic)
+        drop_kw = {} if not use_fused_block \
+            else self._drop_kw(deterministic)
 
         if any(pp > 0 for pp in paddings):
             x = jnp.pad(x, ((0, 0),
@@ -447,43 +457,67 @@ class ConsecutiveSwinBlocks(nn.Module):
 
     def _pair_fusable(self, shape_x, deterministic: bool) -> bool:
         """Both blocks can run on shared window-major layout: fused
-        kernel available, no padding/folding needed, and remat is not
-        requested for this pass (remat stays per-block)."""
+        kernel available, no material padding needed (pad-folded axes
+        qualify), and remat is not requested for this pass (remat stays
+        per-block)."""
         from .window_attention import _use_pallas
         if self.is_initializing():
             return False
         if not _use_pallas(self.attn_impl, True, 0.0):
             return False
-        if self.use_checkpoint and not deterministic:
-            return False
-        if any(d < w or d % w
-               for d, w in zip(shape_x, self.window_size)):
-            return False
-        return True
+        fold_axes = tuple(i for i, d in enumerate(shape_x)
+                          if d < self.window_size[i])
+        paddings = compute_paddings(shape_x, tuple(self.window_size))
+        _, pads_eff = fold_geometry(shape_x, tuple(self.window_size),
+                                    fold_axes, paddings)
+        return not any(pads_eff)
+
+    def _pair_forward(self, x: jnp.ndarray, p0, p1,
+                      deterministic: bool) -> jnp.ndarray:
+        """Pair fusion: one partition + one reverse for BOTH blocks; the
+        shifted block's cyclic roll runs in window-major layout
+        (ops/windows.py::window_shift), eliminating two 8-D transposes
+        and two spatial rolls per pair.  Pad-folded stages participate
+        with their content window ``wc``."""
+        from ..ops.windows import window_shift
+        shape_x = tuple(x.shape[1:4])
+        w = tuple(self.window_size)
+        fold_axes = tuple(i for i, d in enumerate(shape_x) if d < w[i])
+        paddings = compute_paddings(shape_x, w)
+        wc, _ = fold_geometry(shape_x, w, fold_axes, paddings)
+        grid = tuple(d // ws for d, ws in zip(shape_x, wc))
+
+        def run_block(blk, x_win, pp, shift_size):
+            if fold_axes:
+                return blk.folded_on_windows(
+                    x_win, pp, shape_x, w, shift_size, paddings,
+                    fold_axes, deterministic)
+            return blk.fused_on_windows(x_win, pp, shape_x, deterministic)
+
+        x_win = window_partition(x, wc)
+        x_win = run_block(self.swin_blocks[0], x_win, p0, (0, 0, 0))
+        shift = self.swin_blocks[1].get_shift_size(shape_x)
+        shifted = any(s > 0 for s in shift)
+        if shifted:
+            x_win = window_shift(x_win, grid, wc, shift)
+        x_win = run_block(self.swin_blocks[1], x_win, p1, shift)
+        if shifted:
+            x_win = window_shift(x_win, grid, wc, shift, inverse=True)
+        return window_reverse(x_win, wc, shape_x)
 
     def __call__(self, x: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:
         shape_x = tuple(x.shape[1:4])
         if self._pair_fusable(shape_x, deterministic):
-            # Pair fusion: one partition + one reverse for BOTH blocks;
-            # the shifted block's cyclic roll runs in window-major
-            # layout (ops/windows.py::window_shift), eliminating two 8-D
-            # transposes and two spatial rolls per pair.
-            from ..ops.windows import window_shift
-            w = tuple(self.window_size)
-            grid = tuple(d // ws for d, ws in zip(shape_x, w))
-            x_win = window_partition(x, w)
-            x_win = self.swin_blocks[0].fused_on_windows(
-                x_win, p[0], shape_x, deterministic)
-            shift = self.swin_blocks[1].get_shift_size(shape_x)
-            shifted = any(s > 0 for s in shift)
-            if shifted:
-                x_win = window_shift(x_win, grid, w, shift)
-            x_win = self.swin_blocks[1].fused_on_windows(
-                x_win, p[1], shape_x, deterministic)
-            if shifted:
-                x_win = window_shift(x_win, grid, w, shift, inverse=True)
-            x = window_reverse(x_win, w, shape_x)
+            if self.use_checkpoint and not deterministic:
+                # Remat at PAIR granularity: stores one activation for
+                # two blocks (the reference remats per block; same
+                # recompute class, strictly less saved memory).
+                fn = nn.remat(ConsecutiveSwinBlocks._pair_forward,
+                              static_argnums=(4,), prevent_cse=False)
+                x = fn(self, x, p[0], p[1], deterministic)
+            else:
+                x = self._pair_forward(x, p[0], p[1], deterministic)
         else:
             for i, blk in enumerate(self.swin_blocks):
                 x = blk(x, p[i], deterministic=deterministic)

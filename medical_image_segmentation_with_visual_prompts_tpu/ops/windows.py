@@ -126,15 +126,16 @@ def window_shift(x_win: jnp.ndarray, grid: Sequence[int],
 
     Equivalent to ``window_partition(roll(window_reverse(x_win), -s))``
     (or the inverse with ``+s``) but WITHOUT the two 8-D transposes: in
-    the dilated factoring ``pos = i * p + π`` (window_partition above), a
-    spatial roll by ``-s`` with ``s < p`` maps ``(π, i) → ((π+s) mod p,
-    i + [π+s ≥ p])`` — a window-index slice/concat plus a one-step token
-    roll on the wrapped slab, per axis.  Pure slicing, XLA fuses it.
+    the dilated factoring ``pos = i * p + π`` (window_partition above),
+    a spatial roll by ``-s`` maps ``(π, i) → ((π + s) mod p,
+    (i + (π + s)//p) mod w)`` — a window-index slice/concat plus token
+    rolls of ``s//p`` (and one more on the wrapped slab), per axis.
+    Pure slicing, XLA fuses it.
 
     Args:
       x_win: ``[B, P, M, C]`` from :func:`window_partition`.
       grid: windows per axis ``(p1, p2, p3)``.
-      shift_size: per-axis shift ``s`` (each ``< grid[ax]``).
+      shift_size: per-axis shift ``s`` (any ``s < grid*window``).
       inverse: undo the shift (``roll(+s)`` equivalent).
     """
     b, p_tot, m_tot, c = x_win.shape
@@ -145,14 +146,25 @@ def window_shift(x_win: jnp.ndarray, grid: Sequence[int],
             continue
         wa, ia = 1 + ax, 4 + ax
         p = grid[ax]
+        s0, q0 = s % p, s // p
         if not inverse:
-            top = jax.lax.slice_in_dim(y, s, p, axis=wa)
-            bot = jnp.roll(jax.lax.slice_in_dim(y, 0, s, axis=wa),
-                           -1, axis=ia)
+            if s0 == 0:
+                y = jnp.roll(y, -q0, axis=ia)
+                continue
+            top = jax.lax.slice_in_dim(y, s0, p, axis=wa)
+            if q0:
+                top = jnp.roll(top, -q0, axis=ia)
+            bot = jnp.roll(jax.lax.slice_in_dim(y, 0, s0, axis=wa),
+                           -(q0 + 1), axis=ia)
             y = jnp.concatenate([top, bot], axis=wa)
         else:
-            top = jnp.roll(jax.lax.slice_in_dim(y, p - s, p, axis=wa),
-                           1, axis=ia)
-            bot = jax.lax.slice_in_dim(y, 0, p - s, axis=wa)
+            if s0 == 0:
+                y = jnp.roll(y, q0, axis=ia)
+                continue
+            top = jnp.roll(jax.lax.slice_in_dim(y, p - s0, p, axis=wa),
+                           q0 + 1, axis=ia)
+            bot = jax.lax.slice_in_dim(y, 0, p - s0, axis=wa)
+            if q0:
+                bot = jnp.roll(bot, q0, axis=ia)
             y = jnp.concatenate([top, bot], axis=wa)
     return y.reshape(b, p_tot, m_tot, c)

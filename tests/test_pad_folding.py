@@ -216,3 +216,72 @@ def test_pair_fused_gradients(monkeypatch):
         g, gr = np.asarray(g), np.asarray(gr)
         np.testing.assert_allclose(
             g, gr, rtol=8e-2, atol=2e-2 * max(1.0, np.abs(gr).max()))
+
+
+def test_pair_fused_folded_path_matches_per_block(monkeypatch):
+    """Pair fusion through the pad-folded window-major path (depth <
+    window -> wc windows, FOLD_KEY/FOLD_COUNT) matches per-block XLA."""
+    c, tokens, heads = 8, 3, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 2, c))
+    ps = []
+    for i in range(2):
+        pp = jax.random.normal(jax.random.PRNGKey(10 + i), (1, tokens, c))
+        ps.append(jnp.broadcast_to(pp, (2, tokens, c)))
+    ref = _pair(tokens, heads, c, window=(4, 4, 4), impl="xla")
+    params = ref.init(jax.random.PRNGKey(2), x, tuple(ps))
+    want = ref.apply(params, x, tuple(ps))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    fused = _pair(tokens, heads, c, window=(4, 4, 4), impl="auto")
+    got = fused.apply(params, x, tuple(ps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_pair_fused_remat_gradients(monkeypatch):
+    """Pair-granularity remat: gradients equal the no-remat pair path."""
+    c, heads = 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4, c))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    plain = _pair(0, heads, c, impl="auto", use_checkpoint=False)
+    remat = _pair(0, heads, c, impl="auto", use_checkpoint=True)
+    params = plain.init(jax.random.PRNGKey(2), x, (None, None))
+
+    def loss(blk):
+        return lambda pr, x_: jnp.sum(blk.apply(
+            pr, x_, (None, None), deterministic=False).astype(jnp.float32)
+            ** 2)
+
+    g1 = jax.grad(loss(plain))(params, x)
+    g2 = jax.grad(loss(remat))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pair_fused_remat_dropout_consistent(monkeypatch):
+    """In-kernel dropout draws identical masks under pair remat (the
+    canonical training configuration: dropout 0.1 + use_checkpoint)."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models. \
+        swin_block import ConsecutiveSwinBlocks
+    c, heads = 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4, c))
+
+    def make(ckpt):
+        return ConsecutiveSwinBlocks(
+            hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+            max_prompts=1, tokens_per_prompt=0, use_token_params=False,
+            window_size=(4, 4, 2), down=False, use_checkpoint=ckpt,
+            attn_drop=0.3, proj_drop=0.1, attn_impl="auto")
+
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    plain, remat = make(False), make(True)
+    params = plain.init(
+        {"params": jax.random.PRNGKey(2),
+         "dropout": jax.random.PRNGKey(3)}, x, (None, None))
+    kw = dict(rngs={"dropout": jax.random.PRNGKey(7)},
+              deterministic=False)
+    out1 = plain.apply(params, x, (None, None), **kw)
+    out2 = remat.apply(params, x, (None, None), **kw)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-6)

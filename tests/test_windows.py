@@ -90,7 +90,9 @@ def test_window_shift_matches_roll_roundtrip():
         import window_partition, window_reverse, window_shift
     shape, w = (16, 16, 4), (4, 4, 2)
     grid = tuple(s // ws for s, ws in zip(shape, w))
-    for shift in [(2, 2, 1), (2, 2, 0), (1, 3, 0)]:
+    # Includes shifts >= grid (multi-wrap: token roll s//p) and == grid.
+    for shift in [(2, 2, 1), (2, 2, 0), (1, 3, 0), (4, 5, 1), (7, 6, 2),
+                  (8, 4, 0)]:
         x = jax.random.normal(jax.random.PRNGKey(0), (2, *shape, 3))
         x_win = window_partition(x, w)
         want = window_partition(
