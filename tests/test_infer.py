@@ -1,0 +1,66 @@
+"""End-to-end batch serving CLI (infer.py): directory in → directory
+out, pipelined loader/writer threads, shared bucketed program cache."""
+
+import pathlib
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_infer_cli_batch(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from medical_image_segmentation_with_visual_prompts_tpu import infer
+    from medical_image_segmentation_with_visual_prompts_tpu.data import \
+        save_nifti
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+    from medical_image_segmentation_with_visual_prompts_tpu.utils. \
+        checkpoint import save_checkpoint
+
+    with open(ROOT / "configurations" / "tiny_cpu.yml") as f:
+        conf = yaml.safe_load(f)
+    from argparse import Namespace
+    model_conf = ModelConfig.from_namespace(
+        Namespace(training_mode="downstream", use_encoder_prompting=True,
+                  use_decoder_prompting=True, **{
+                      k: v for k, v in conf.items()
+                      if k not in ("training_mode",)}))
+    model = SwinUnetR(model_conf)
+    x0 = jnp.zeros((1, 16, 16, 8, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, deterministic=True)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(ckpt, 0,
+                    {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})},
+                    None, {"epoch": 0})
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in"
+    src.mkdir()
+    # Two distinct shapes -> exercises the bucket cache across volumes.
+    for i, shape in enumerate([(24, 24, 10), (24, 24, 10), (20, 20, 12)]):
+        save_nifti(str(src / f"case_{i}.nii.gz"),
+                   rng.normal(0.3, 0.2, size=shape).astype(np.float32),
+                   np.eye(4))
+    out = tmp_path / "out"
+
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--configs", str(ROOT / "configurations" / "tiny_cpu.yml"),
+        "--ckpt", str(ckpt), "--input", str(src), "--output", str(out),
+        "--use-encoder-prompting", "--use-decoder-prompting"])
+    infer.main()
+
+    outs = sorted(out.iterdir())
+    assert [p.name for p in outs] == [
+        "case_0_seg.nii.gz", "case_1_seg.nii.gz", "case_2_seg.nii.gz"]
+    from medical_image_segmentation_with_visual_prompts_tpu.data. \
+        transforms import load_image
+    pred = load_image(str(outs[0]))
+    assert pred.shape[:3] == (24, 24, 10)
+    assert set(np.unique(pred)).issubset({0, 1})
