@@ -207,24 +207,26 @@ class SwinUpBlock(nn.Module):
         from ..ops import window_attention_pallas as _wap
         x = upsample_trilinear(x, tuple(self.strides), align_corners=False)
         x = x[:, :c.shape[1], :c.shape[2], :c.shape[3], :]
-        x = jnp.concatenate([x, c], axis=-1)
-        # Reference order (unet_blocks.py:74): conv(act(norm(x))).
+        # Reference order (unet_blocks.py:74): conv(act(norm(cat(x, c)))).
         # Inference on TPU folds BN (running stats) + LeakyReLU into the
-        # Pallas halo-tiled conv prologue (ops/conv_pallas.py): one HBM
-        # read instead of norm/act/conv round trips.
+        # Pallas halo-tiled conv prologue AND consumes the two concat
+        # inputs separately (ops/conv_pallas.py::conv3x3_fused_pair):
+        # the concatenated tensor, its depth-fold reshape and lane pad
+        # never reach HBM (traced ~4 ms/volume of data formatting).
         on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
         if (on_tpu and deterministic and not self.is_initializing()
                 and tuple(self.kernel_size) == (3, 3, 3)):
-            from ..ops.conv_pallas import conv3x3_fused
+            from ..ops.conv_pallas import conv3x3_fused_pair
             v = self.norm_concat.variables
             scale = v["params"]["scale"] * jax.lax.rsqrt(
                 v["batch_stats"]["var"] + 1e-5)
             shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
             cp = self.conv_concat.conv.variables["params"]
-            x = conv3x3_fused(x, cp["kernel"], cp["bias"], scale, shift,
-                              leaky=True,
-                              out_dtype=self.dtype or jnp.float32)
+            x = conv3x3_fused_pair(x, c.astype(x.dtype), cp["kernel"],
+                                   cp["bias"], scale, shift, leaky=True,
+                                   out_dtype=self.dtype or jnp.float32)
         else:
+            x = jnp.concatenate([x, c], axis=-1)
             x = self.norm_concat(x, use_running_average=deterministic)
             x = nn.leaky_relu(x, negative_slope=0.01)
             x = self.conv_concat(x)

@@ -128,3 +128,62 @@ def test_swin_up_block_fused_path_matches_module(monkeypatch):
     got = np.asarray(m.apply(v, x, c, deterministic=True))
     tol = 4e-2 * max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got, want, rtol=4e-2, atol=tol)
+
+
+def test_pair_matches_concat(monkeypatch):
+    """conv3x3_fused_pair == conv3x3_fused(concat) (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from medical_image_segmentation_with_visual_prompts_tpu.ops. \
+        conv_pallas import conv3x3_fused, conv3x3_fused_pair
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import \
+        window_attention_pallas as wap
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    rng = jax.random.PRNGKey(0)
+    ka, kb, kk, kc, ks = jax.random.split(rng, 5)
+    b, h, w, d, ca, cb, co = 2, 8, 8, 4, 6, 4, 5
+    xa = jax.random.normal(ka, (b, h, w, d, ca))
+    xb = jax.random.normal(kb, (b, h, w, d, cb))
+    kern = jax.random.normal(kk, (3, 3, 3, ca + cb, co)) * 0.1
+    bias = jax.random.normal(kc, (co,)) * 0.1
+    scale = jax.random.normal(ks, (ca + cb,)) * 0.3 + 1.0
+    shift = jnp.linspace(-0.2, 0.2, ca + cb)
+    want = conv3x3_fused(jnp.concatenate([xa, xb], -1), kern, bias,
+                         scale, shift, leaky=True)
+    got = conv3x3_fused_pair(xa, xb, kern, bias, scale, shift, leaky=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # no-affine path
+    want = conv3x3_fused(jnp.concatenate([xa, xb], -1), kern, bias)
+    got = conv3x3_fused_pair(xa, xb, kern, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pair_gradients(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    from medical_image_segmentation_with_visual_prompts_tpu.ops. \
+        conv_pallas import conv3x3_fused_pair, _reference_pair
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import \
+        window_attention_pallas as wap
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    rng = jax.random.PRNGKey(1)
+    ka, kb, kk = jax.random.split(rng, 3)
+    xa = jax.random.normal(ka, (1, 4, 4, 2, 4))
+    xb = jax.random.normal(kb, (1, 4, 4, 2, 4))
+    kern = jax.random.normal(kk, (3, 3, 3, 8, 3)) * 0.1
+    bias = jnp.zeros((3,))
+
+    def loss(f):
+        return lambda a, b_, k_: jnp.sum(
+            f(a, b_, k_, bias).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss(lambda *a: conv3x3_fused_pair(*a, leaky=True)),
+                  argnums=(0, 1, 2))(xa, xb, kern)
+    g2 = jax.grad(loss(lambda *a: _reference_pair(
+        *a, None, None, True).astype(jnp.float32)),
+        argnums=(0, 1, 2))(xa, xb, kern)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-2, atol=5e-2)
