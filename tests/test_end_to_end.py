@@ -245,7 +245,7 @@ def test_infer_cli_segments_volume(dataset, tmp_path, monkeypatch):
          "--configs", str(TINY_YML), "--ckpt", str(ckpt),
          "--use-decoder-prompting",
          "--input", str(inp), "--output", str(out)],
-        capture_output=True, text=True, env=env, timeout=600)
+        capture_output=True, text=True, env=env, timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     from medical_image_segmentation_with_visual_prompts_tpu.data import \
         load_nifti
