@@ -259,6 +259,10 @@ _PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
 def _pick_head_block(num_heads: int, g: int, m: int, n: int) -> int:
     """Largest divisor of num_heads whose fp32 score tile fits the
     budget (2x: scores + softmax temp)."""
+    import os
+    forced = int(os.environ.get("MIVP_FORCE_HB", "0"))
+    if forced and num_heads % forced == 0:
+        return forced
     for hb in range(num_heads, 0, -1):
         if num_heads % hb:
             continue

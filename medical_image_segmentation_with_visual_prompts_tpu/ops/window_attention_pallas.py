@@ -192,9 +192,14 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, colmask_ref,
 
 
 def _pick_group_packed(bp: int, p, num_heads: int, m: int, n: int) -> int:
-    per_g = 2 * num_heads * m * n * 4  # fp32 scores + softmax temp
+    # MIVP_FORCE_G overrides the heads used for the VMEM bound (set with
+    # MIVP_FORCE_HB=1 the score tile shrinks, allowing larger window
+    # groups) — perf-sweep knob, default off.
+    hb = int(_os.environ.get("MIVP_FORCE_HB", "0")) or num_heads
+    force_g = int(_os.environ.get("MIVP_FORCE_G", "0"))
+    per_g = 2 * hb * m * n * 4  # fp32 scores + softmax temp
     g = max(int(_VMEM_BUDGET // max(per_g, 1)), 1)
-    g = min(g, 8)
+    g = min(g, force_g or 8)
     while g > 1 and (bp % g or (p is not None and p % g)):
         g -= 1
     return g
