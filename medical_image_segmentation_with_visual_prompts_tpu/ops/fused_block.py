@@ -117,18 +117,26 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     else:
         yk = yv = y
     y16 = y.astype(jnp.bfloat16)
-    dot = lambda a, b: jax.lax.dot_general(
-        a, b, (((2,), (0,)), ((), ())),
+    # The window-group batch is FLATTENED into M for every projection
+    # matmul: one MXU sequence instead of g batched ones (per-sequence
+    # fixed overhead dominates at this k=C geometry — PERF.md ablation:
+    # the kernel is matmul-pipeline-bound, not FLOP-bound).
+    nk = yk.shape[1]
+    dot2 = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # ``scale`` is folded into q at the fp32->bf16 cast: the q·k logits
     # come out of the MXU already scaled, saving one fp32 pass over the
     # much larger [g, hb*m, n] score tile per head block.
-    q = (dot(y16[:, :m], wq_ref[:].astype(jnp.bfloat16))
-         * jnp.float32(scale)).astype(jnp.bfloat16)
-    k = dot(yk.astype(jnp.bfloat16),
-            wk_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
-    v = dot(yv.astype(jnp.bfloat16),
-            wv_ref[:].astype(jnp.bfloat16)).astype(jnp.bfloat16)
+    q = (dot2(y16[:, :m].reshape(g * m, c),
+              wq_ref[:].astype(jnp.bfloat16))
+         * jnp.float32(scale)).astype(jnp.bfloat16).reshape(g, m, c)
+    k = dot2(yk.astype(jnp.bfloat16).reshape(g * nk, c),
+             wk_ref[:].astype(jnp.bfloat16)) \
+        .astype(jnp.bfloat16).reshape(g, nk, c)
+    v = dot2(yv.astype(jnp.bfloat16).reshape(g * nk, c),
+             wv_ref[:].astype(jnp.bfloat16)) \
+        .astype(jnp.bfloat16).reshape(g, nk, c)
     colmask = colmask_ref[:].astype(jnp.bfloat16)         # [h, c]
     colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
@@ -162,7 +170,8 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
             part = o_full[:, j * m:(j + 1) * m, :] \
                 * colmask32[h0 + j][None, None, :]
             attn = part if attn is None else attn + part
-    proj = dot(attn.astype(jnp.bfloat16), wp_ref[:].astype(jnp.bfloat16)) \
+    proj = dot2(attn.astype(jnp.bfloat16).reshape(g * m, c),
+                wp_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bp_ref[0].astype(jnp.float32)[None, None, :]
     if proj_drop > 0.0:
         ig = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 0)
@@ -173,7 +182,8 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     x1 = x + proj
     l2 = _ln(x1, ln2s_ref[0].astype(jnp.float32)[None, None, :],
              ln2b_ref[0].astype(jnp.float32)[None, None, :])
-    mlp = dot(l2.astype(jnp.bfloat16), wm_ref[:].astype(jnp.bfloat16)) \
+    mlp = dot2(l2.astype(jnp.bfloat16).reshape(g * m, c),
+               wm_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bm_ref[0].astype(jnp.float32)[None, None, :]
     o_ref[:] = (x1 + mlp).astype(o_ref.dtype)
 
