@@ -41,6 +41,18 @@ from .parallel import BucketedInference, window_starts
 from .utils import get_full_configs, load_checkpoint, restore_like
 
 
+def _stitch_labels(runner, roi, volume: np.ndarray) -> np.ndarray:
+    """Crop to stride-aligned size, run bucketed Gaussian inference,
+    argmax, and re-embed (border voxels stay background 0)."""
+    slices, _, _ = window_starts(volume.shape[:3], roi)
+    cropped = np.ascontiguousarray(volume[slices[0], slices[1], slices[2]])
+    probs = runner(cropped)
+    pred_crop = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.int16)
+    pred = np.zeros(volume.shape[:3], np.int16)
+    pred[slices[0], slices[1], slices[2]] = pred_crop
+    return pred
+
+
 def segment_volume(conf, variables, volume: np.ndarray,
                    chunk: int = 16) -> np.ndarray:
     """[H, W, D, 1] preprocessed volume -> [H, W, D] int labels."""
@@ -51,18 +63,10 @@ def segment_volume(conf, variables, volume: np.ndarray,
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
     roi = tuple(conf.roi_size)
-    slices, _, _ = window_starts(volume.shape[:3], roi)
-    cropped = np.ascontiguousarray(
-        volume[slices[0], slices[1], slices[2]])
     # Bucketed: heterogeneous volume shapes share O(#buckets) programs.
     runner = BucketedInference(apply_fn, roi, chunk,
                                conf.output_channels_downstream)
-    probs = runner(cropped)
-    pred_crop = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.int16)
-    # Uncovered border voxels (center-crop margins) stay background 0.
-    pred = np.zeros(volume.shape[:3], np.int16)
-    pred[slices[0], slices[1], slices[2]] = pred_crop
-    return pred
+    return _stitch_labels(runner, roi, volume)
 
 
 def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
@@ -78,8 +82,12 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
     if not srcs:
         raise FileNotFoundError(f"no NIfTI volumes under {inputs}")
     out = Path(output)
-    if len(srcs) == 1 and out.suffix in (".nii", ".gz"):
-        return [(srcs[0], out)]
+    if out.suffix in (".nii", ".gz"):
+        if len(srcs) == 1:
+            return [(srcs[0], out)]
+        raise ValueError(
+            f"multiple inputs ({len(srcs)}) require a directory --output, "
+            f"got file-like path {out}")
     out.mkdir(parents=True, exist_ok=True)
     pairs = []
     for s in srcs:
@@ -93,13 +101,14 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
 
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
-                  chunk: int = 16) -> float:
+                  chunk: int = 16) -> Tuple[int, int]:
     """Segment a batch of volumes with pipelined host IO.
 
     Loader and writer run in their own threads with bounded queues, so
     NIfTI decode/encode of neighbors overlaps the chip's compute; the
-    bucketed program cache is shared across volumes.  Returns
-    volumes/sec over the whole batch.
+    bucketed program cache is shared across volumes.  Per-volume load or
+    write failures are reported and counted, never hung on.  Returns
+    ``(n_done, n_failed)``.
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -112,6 +121,7 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
                                conf.output_channels_downstream)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
+    write_errors: List[Tuple[Path, Exception]] = []
 
     def loader():
         for src, dst in pairs:
@@ -128,13 +138,17 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
             if item is None:
                 return
             dst, pred = item
-            save_nifti(str(dst), pred)
+            try:
+                save_nifti(str(dst), pred)
+            except Exception as e:          # keep draining the queue
+                write_errors.append((dst, e))
 
     lt = threading.Thread(target=loader, daemon=True)
     wt = threading.Thread(target=writer, daemon=True)
     lt.start()
     wt.start()
     n_done = 0
+    n_failed = 0
     t0 = time.perf_counter()
     while True:
         item = loaded.get()
@@ -142,14 +156,10 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
             break
         src, dst, vol, err = item
         if err is not None:
-            print(f"SKIP {src}: {err}")
+            print(f"FAILED {src}: {err}")
+            n_failed += 1
             continue
-        slices, _, _ = window_starts(vol.shape[:3], roi)
-        cropped = np.ascontiguousarray(vol[slices[0], slices[1], slices[2]])
-        probs = runner(cropped)
-        pred_crop = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.int16)
-        pred = np.zeros(vol.shape[:3], np.int16)
-        pred[slices[0], slices[1], slices[2]] = pred_crop
+        pred = _stitch_labels(runner, roi, vol)
         to_write.put((dst, pred))
         n_done += 1
         print(f"{src.name} -> {dst} "
@@ -157,12 +167,16 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     to_write.put(None)
     wt.join()
     lt.join()
+    for dst, e in write_errors:
+        print(f"FAILED write {dst}: {e}")
+        n_done -= 1
+        n_failed += 1
     dt = time.perf_counter() - t0
     if n_done:
         print(f"{n_done} volumes in {dt:.2f}s "
               f"({n_done / dt:.2f} vol/s, "
               f"{runner.compiled_programs} compiled buckets)")
-    return n_done / dt if dt > 0 else 0.0
+    return n_done, n_failed
 
 
 def main():
@@ -203,7 +217,10 @@ def main():
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
     pairs = resolve_io(args.input, args.output)
-    serve_volumes(conf, variables, pairs, chunk=args.chunk)
+    n_done, n_failed = serve_volumes(conf, variables, pairs,
+                                     chunk=args.chunk)
+    if n_failed or not n_done:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

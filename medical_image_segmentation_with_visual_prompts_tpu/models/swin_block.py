@@ -455,11 +455,11 @@ class ConsecutiveSwinBlocks(nn.Module):
                 dtype=self.dtype,
             )
 
-    def _pair_fusable(self, shape_x, deterministic: bool) -> bool:
+    def _pair_fusable(self, shape_x) -> bool:
         """Both blocks can run on shared window-major layout: fused
-        kernel available, no material padding needed (pad-folded axes
-        qualify), and remat is not requested for this pass (remat stays
-        per-block)."""
+        kernel available and no material padding needed (pad-folded
+        axes qualify).  Remat is supported on this path too — at PAIR
+        granularity (see __call__)."""
         from .window_attention import _use_pallas
         if self.is_initializing():
             return False
@@ -508,7 +508,7 @@ class ConsecutiveSwinBlocks(nn.Module):
     def __call__(self, x: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:
         shape_x = tuple(x.shape[1:4])
-        if self._pair_fusable(shape_x, deterministic):
+        if self._pair_fusable(shape_x):
             if self.use_checkpoint and not deterministic:
                 # Remat at PAIR granularity: stores one activation for
                 # two blocks (the reference remats per block; same

@@ -192,9 +192,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, colmask_ref,
 
 
 def _pick_group_packed(bp: int, p, num_heads: int, m: int, n: int) -> int:
-    # MIVP_FORCE_G overrides the heads used for the VMEM bound (set with
-    # MIVP_FORCE_HB=1 the score tile shrinks, allowing larger window
-    # groups) — perf-sweep knob, default off.
+    # Perf-SWEEP knobs, default off: MIVP_FORCE_HB overrides the head
+    # count used for the VMEM bound (the fused block kernel blocks heads,
+    # so hb<heads shrinks its score tile and allows larger groups);
+    # MIVP_FORCE_G caps the group.  DANGER: the plain packed kernel has
+    # NO head blocking — forcing hb<num_heads while it is in use
+    # undersizes its [g, H*m, n] score tile and OOMs VMEM.  Never set
+    # these outside tiling sweeps.
     hb = int(_os.environ.get("MIVP_FORCE_HB", "0")) or num_heads
     force_g = int(_os.environ.get("MIVP_FORCE_G", "0"))
     per_g = 2 * hb * m * n * 4  # fp32 scores + softmax temp

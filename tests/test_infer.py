@@ -64,3 +64,52 @@ def test_infer_cli_batch(tmp_path, monkeypatch):
     pred = load_image(str(outs[0]))
     assert pred.shape[:3] == (24, 24, 10)
     assert set(np.unique(pred)).issubset({0, 1})
+
+
+def test_resolve_io_rejects_multi_input_file_output(tmp_path):
+    from medical_image_segmentation_with_visual_prompts_tpu.infer import \
+        resolve_io
+    a, b = tmp_path / "a.nii.gz", tmp_path / "b.nii.gz"
+    a.write_bytes(b"x")
+    b.write_bytes(b"x")
+    import pytest
+    with pytest.raises(ValueError, match="directory"):
+        resolve_io([str(a), str(b)], str(tmp_path / "seg.nii.gz"))
+
+
+def test_serve_volumes_reports_failures(tmp_path):
+    """A corrupt volume is counted as failed (and the batch finishes)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from argparse import Namespace
+    from medical_image_segmentation_with_visual_prompts_tpu.data import \
+        save_nifti
+    from medical_image_segmentation_with_visual_prompts_tpu.infer import \
+        serve_volumes
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+
+    with open(ROOT / "configurations" / "tiny_cpu.yml") as f:
+        conf_d = yaml.safe_load(f)
+    conf = Namespace(training_mode="downstream", use_encoder_prompting=True,
+                     use_decoder_prompting=True,
+                     **{k: v for k, v in conf_d.items()
+                        if k != "training_mode"})
+    model = SwinUnetR(ModelConfig.from_namespace(conf))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 8, 1)), deterministic=True)
+
+    good = tmp_path / "good.nii.gz"
+    bad = tmp_path / "bad.nii.gz"
+    save_nifti(str(good), np.zeros((20, 20, 10), np.float32), np.eye(4))
+    bad.write_bytes(b"this is not a nifti")
+    out = tmp_path / "out"
+    out.mkdir()
+    n_done, n_failed = serve_volumes(
+        conf, variables,
+        [(good, out / "good_seg.nii.gz"), (bad, out / "bad_seg.nii.gz")])
+    assert n_done == 1 and n_failed == 1
+    assert (out / "good_seg.nii.gz").exists()
+    assert not (out / "bad_seg.nii.gz").exists()
