@@ -110,6 +110,16 @@ def main():
             # The axon TPU backend exposes no HLO cost analysis; use the
             # CPU-computed constant (tools/baseline_model.py: 24.43
             # GFLOP per 128x128x8 window forward, canonical config).
+            # Guard against silent drift: the constant is only valid for
+            # the exact flagship geometry it was measured at.
+            _sig = (tuple(conf.hidden_channels), conf.depth_unet,
+                    tuple(conf.attn_window_size),
+                    conf.tokens_per_prompt_encoder, roi)
+            _expect = ((48, 96, 192, 384), 3, (8, 8, 4), 64, (128, 128, 8))
+            if _sig != _expect:
+                raise RuntimeError(
+                    f"MFU FLOP constant is stale for config {_sig}; "
+                    "regenerate with tools/baseline_model.py")
             flops_chunk = 24.43e9 * CHUNK
         n_chunks = starts.shape[0] // CHUNK
         flops_volume = flops_chunk * n_chunks

@@ -170,10 +170,8 @@ class _SegHead(nn.Module):
         # the Pallas halo kernel loses here, 2.92 ms, to its 2.67x
         # folded-band FLOP overhead at D=8 with tiny Cout).
         if on_tpu and deterministic and not self.is_initializing():
-            v = self.norm.variables
-            scale = v["params"]["scale"] * jax.lax.rsqrt(
-                v["batch_stats"]["var"] + 1e-5)
-            shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
+            from .unet_blocks import bn_fold
+            scale, shift = bn_fold(self.norm)
             return conv3d_depth_lanes(x, kernel, bias, scale, shift)
         x = self.norm(x, use_running_average=deterministic)
         if x.shape[3] <= 4:

@@ -28,6 +28,17 @@ from .swin_block import ConsecutiveSwinBlocks
 _CONV_DN = ("NHWDC", "HWDIO", "NHWDC")
 
 
+def bn_fold(norm: nn.BatchNorm):
+    """(scale, shift) folding an inference-mode BatchNorm into a
+    per-channel affine: ``y = x * scale + shift`` with the module's own
+    epsilon and running stats.  Shared by every Pallas conv prologue."""
+    v = norm.variables
+    scale = v["params"]["scale"] * jax.lax.rsqrt(
+        v["batch_stats"]["var"] + norm.epsilon)
+    shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
+    return scale, shift
+
+
 class Conv3d(nn.Module):
     """3D conv, channels-last, torch-style 'same' padding for odd kernels.
 
@@ -217,10 +228,7 @@ class SwinUpBlock(nn.Module):
         if (on_tpu and deterministic and not self.is_initializing()
                 and tuple(self.kernel_size) == (3, 3, 3)):
             from ..ops.conv_pallas import conv3x3_fused_pair
-            v = self.norm_concat.variables
-            scale = v["params"]["scale"] * jax.lax.rsqrt(
-                v["batch_stats"]["var"] + 1e-5)
-            shift = v["params"]["bias"] - v["batch_stats"]["mean"] * scale
+            scale, shift = bn_fold(self.norm_concat)
             cp = self.conv_concat.conv.variables["params"]
             x = conv3x3_fused_pair(x, c.astype(x.dtype), cp["kernel"],
                                    cp["bias"], scale, shift, leaky=True,

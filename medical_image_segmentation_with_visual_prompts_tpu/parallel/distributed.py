@@ -56,12 +56,31 @@ def stage_global_batch(mesh, batch: dict, exclude=("name",)):
     Single-process callers should use ``DeviceCtx.stage`` (this path is
     equivalent there but goes through the local-data assembly API).
     """
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P("data"))
+    n_local = jax.local_device_count()
     out = {}
+    padded = 0
     for k, v in batch.items():
         if k in exclude or not hasattr(v, "shape"):
             out[k] = v
             continue
+        # Wrap-pad partial final batches to a local-device multiple, as
+        # DeviceCtx.stage does single-host; padding samples are masked
+        # out of losses/metrics via the '_valid' key below.
+        b = v.shape[0]
+        pad = (-b) % n_local
+        if pad:
+            reps = int(np.ceil((b + pad) / b))
+            v = np.concatenate([np.asarray(v)] * reps)[:b + pad]
+            padded = pad
         out[k] = jax.make_array_from_process_local_data(sharding, v)
+    if padded:
+        b_tot = next(v.shape[0] for k, v in batch.items()
+                     if k not in exclude and hasattr(v, "shape")) + padded
+        valid = np.ones((b_tot,), np.float32)
+        valid[b_tot - padded:] = 0.0
+        out["_valid"] = jax.make_array_from_process_local_data(
+            sharding, valid)
     return out

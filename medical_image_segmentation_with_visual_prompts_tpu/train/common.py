@@ -72,6 +72,18 @@ def to_device(batch: Dict, exclude: Tuple[str, ...] = ("name",)) -> Dict:
     return out
 
 
+def valid_of(batch: Dict):
+    """Per-sample validity weights ``[B]``: the ``_valid`` mask
+    :meth:`DeviceCtx.stage` attaches to wrap-padded partial batches, or
+    all-ones for complete batches."""
+    v = batch.get("_valid")
+    if v is not None:
+        return v
+    b = next(x.shape[0] for k, x in batch.items()
+             if k != "_valid" and hasattr(x, "shape"))
+    return jnp.ones((b,), jnp.float32)
+
+
 def scalar(x) -> float:
     return float(jax.device_get(x))
 
@@ -139,6 +151,7 @@ class DeviceCtx:
         data = NamedSharding(self.mesh, P("data"))
         n = self.n_devices
         out = {}
+        padded = 0
         for k, v in batch.items():
             if k in exclude or not hasattr(v, "shape"):
                 out[k] = v
@@ -149,11 +162,23 @@ class DeviceCtx:
                 if not self._warned_pad and self.logger is not None:
                     self.logger.info(
                         f"Padding partial batch of {b} to {b + pad} for "
-                        f"the {n}-device mesh (wrap-around samples).")
+                        f"the {n}-device mesh (wrap-around samples, "
+                        f"masked out of losses/metrics via '_valid').")
                     self._warned_pad = True
                 reps = int(np.ceil((b + pad) / b))
                 v = np.concatenate([np.asarray(v)] * reps)[:b + pad]
-            out[k] = jax.device_put(jnp.asarray(v), data)
+                padded = pad
+            # device_put shards straight from host memory (no staging
+            # copy through device 0).
+            if not isinstance(v, jax.Array):
+                v = np.asarray(v)
+            out[k] = jax.device_put(v, data)
+        if padded:
+            b_tot = next(v.shape[0] for k, v in out.items()
+                         if k not in exclude and hasattr(v, "shape"))
+            valid = np.ones((b_tot,), np.float32)
+            valid[b_tot - padded:] = 0.0
+            out["_valid"] = jax.device_put(valid, data)
         return out
 
 

@@ -44,6 +44,7 @@ from ..ops.augment import map_label_indices
 from ..utils import (DiceCoefficient, MeanIoU, load_checkpoint, merge_state,
                      restore_like, save_checkpoint, step_decay)
 from ..utils.metrics import seg_stats
+from .common import valid_of as _valid_of
 from .common import AvgLosses, DeviceCtx, StepProfiler, adamw, \
     count_params, scalar, to_device
 
@@ -96,7 +97,11 @@ class SegmentationTrainer:
         active = tuple(conf.active_labels_downstream)
         include_bg = conf.include_background
 
-        def train_step(trainable, batch_stats, opt_state, image, mask, rng):
+        def train_step(trainable, batch_stats, opt_state, image, mask, rng,
+                       valid):
+            # ``valid`` masks the wrap-around samples a DP mesh pads
+            # partial batches with (DeviceCtx.stage) out of the loss,
+            # gradient and metric stats.
             seg_true = map_label_indices(mask, active)
 
             def loss_fn(tr):
@@ -107,29 +112,33 @@ class SegmentationTrainer:
                     mutable=["batch_stats"])
                 loss = dice_focal_loss(out["downstream"], seg_true,
                                        gamma=4.0,
-                                       include_background=include_bg)
+                                       include_background=include_bg,
+                                       sample_weights=valid)
                 return loss, (out["downstream"], updates["batch_stats"])
 
             (loss, (pred, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
             updates, new_opt = tx.update(grads, opt_state, trainable)
             new_tr = optax.apply_updates(trainable, updates)
-            stats = seg_stats(pred, seg_true, num_classes)
+            stats = seg_stats(pred, seg_true, num_classes,
+                              sample_weights=valid)
             if conf.view:
                 return new_tr, new_bs, new_opt, loss, stats, (pred, seg_true)
             return new_tr, new_bs, new_opt, loss, stats, None
 
-        def eval_step(trainable, batch_stats, image, mask):
+        def eval_step(trainable, batch_stats, image, mask, valid):
             seg_true = map_label_indices(mask, active)
             params = partition.merge_params(trainable, frozen)
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               image, deterministic=True)
             loss = dice_focal_loss(out["downstream"], seg_true, gamma=4.0,
-                                   include_background=include_bg)
-            return loss, seg_stats(out["downstream"], seg_true, num_classes)
+                                   include_background=include_bg,
+                                   sample_weights=valid)
+            return loss, seg_stats(out["downstream"], seg_true, num_classes,
+                                   sample_weights=valid)
 
-        return (self.dctx.jit(train_step, n_args=6, data_argnums=(3, 4)),
-                self.dctx.jit(eval_step, n_args=4, data_argnums=(2, 3)))
+        return (self.dctx.jit(train_step, n_args=7, data_argnums=(3, 4, 6)),
+                self.dctx.jit(eval_step, n_args=5, data_argnums=(2, 3, 4)))
 
     # --------------------------------------------------------------- train
     def train(self):
@@ -188,7 +197,7 @@ class SegmentationTrainer:
                 (trainable, batch_stats, opt_state, loss, stats,
                  view_data) = train_step(
                     trainable, batch_stats, opt_state,
-                    batch["image"], batch["mask"], k)
+                    batch["image"], batch["mask"], k, _valid_of(batch))
                 avg.append("seg", loss)  # blocks on the step result
                 profiler.step_end(global_step)
                 global_step += 1
@@ -235,7 +244,8 @@ class SegmentationTrainer:
             for step, batch in enumerate(self.val_loader):
                 batch = self.dctx.stage(batch)
                 loss, stats = eval_step(trainable, batch_stats,
-                                        batch["image"], batch["mask"])
+                                        batch["image"], batch["mask"],
+                                        _valid_of(batch))
                 avg_val.append("seg", loss)
                 avg_val.append("tot", loss)
                 metrics.update_stats(*map(np.asarray, stats))

@@ -24,12 +24,15 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("num_classes",))
-def seg_stats(preds: jax.Array, target: jax.Array, num_classes: int):
+def seg_stats(preds: jax.Array, target: jax.Array, num_classes: int,
+              sample_weights=None):
     """Per-class (intersection, pred_sum, target_sum) sums.
 
     Args:
       preds: logits ``[B, ..., num_classes]`` (channels-last).
       target: integer labels ``[B, ...]`` or ``[B, ..., 1]``.
+      sample_weights: optional ``[B]`` weights (0 for the wrap-around
+        padding samples a data-parallel mesh adds to partial batches).
 
     Returns:
       Three ``[num_classes]`` float32 vectors.
@@ -39,11 +42,17 @@ def seg_stats(preds: jax.Array, target: jax.Array, num_classes: int):
     classes = jnp.arange(num_classes, dtype=jnp.int32)
     pred_onehot = (pred[..., None] == classes).astype(jnp.float32)
     target_onehot = (target[..., None] == classes).astype(jnp.float32)
-    axes = tuple(range(pred.ndim))
-    intersection = jnp.sum(pred_onehot * target_onehot, axis=axes)
-    pred_sum = jnp.sum(pred_onehot, axis=axes)
-    target_sum = jnp.sum(target_onehot, axis=axes)
-    return intersection, pred_sum, target_sum
+    per_sample_axes = tuple(range(1, pred.ndim))
+    intersection = jnp.sum(pred_onehot * target_onehot,
+                           axis=per_sample_axes)          # [B, C]
+    pred_sum = jnp.sum(pred_onehot, axis=per_sample_axes)
+    target_sum = jnp.sum(target_onehot, axis=per_sample_axes)
+    if sample_weights is not None:
+        w = sample_weights.astype(jnp.float32)[:, None]
+        intersection, pred_sum, target_sum = (
+            intersection * w, pred_sum * w, target_sum * w)
+    return (jnp.sum(intersection, axis=0), jnp.sum(pred_sum, axis=0),
+            jnp.sum(target_sum, axis=0))
 
 
 class _SegMetric:

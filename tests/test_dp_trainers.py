@@ -162,3 +162,61 @@ def test_device_ctx_round_and_stage():
     assert len(staged["image"].sharding.device_set) == 8
     ctx1 = DeviceCtx(Namespace(mesh_data=0))
     assert ctx1.mesh is None and ctx1.round_batch(10) == 10
+
+
+def test_mesh_data_partial_batch_matches_single_device(dataset, tmp_path,
+                                                       monkeypatch):
+    """Wrap-padded partial batches are masked ('_valid'): losses and
+    gradients no longer double-count the duplicate samples.  The
+    training trajectory agrees to ~1% (exact equality is impossible:
+    BatchNorm BATCH statistics see the duplicates — train-mode BN is
+    batch-coupled for the reference too), and the eval step on a padded
+    batch is EXACTLY the unpadded loss (running-stats BN)."""
+    common = dict(batch_size_downstream=8, num_samples_downstream=3,
+                  max_epochs_downstream=1, seed=5)
+    conf_sd = _conf(dataset, tmp_path, monkeypatch, "downstream", "psd",
+                    mesh_data=0, **common)
+    cli.setup_fitting(conf_sd).train()
+    conf_dp = _conf(dataset, tmp_path, monkeypatch, "downstream", "pdp",
+                    mesh_data=8, **common)
+    trainer = cli.setup_fitting(conf_dp)
+    trainer.train()
+    for tag in ("train_loss/seg", "val_loss/seg"):
+        ls, ld = _losses(conf_sd, tag), _losses(conf_dp, tag)
+        assert len(ls) == len(ld) and ls, tag
+        np.testing.assert_allclose(ls, ld, rtol=2e-2, err_msg=tag)
+
+
+def test_eval_step_masks_padded_samples_exactly(dataset, tmp_path,
+                                                monkeypatch):
+    """eval_step(padded batch, _valid) == eval_step(true batch): the
+    wrap-around samples contribute nothing to loss or stats."""
+    import jax.numpy as jnp
+    from medical_image_segmentation_with_visual_prompts_tpu.models import \
+        partition
+    conf = _conf(dataset, tmp_path, monkeypatch, "downstream", "mask0",
+                 mesh_data=0, batch_size_downstream=8,
+                 num_samples_downstream=3, max_epochs_downstream=0, seed=5)
+    trainer = cli.setup_fitting(conf)
+    variables = trainer._init_variables(conf.seg_input_size)
+    labels = partition.trainable_labels(trainer.model_conf)
+    trainable, frozen = partition.split_params(variables["params"], labels)
+    bs = variables.get("batch_stats", {})
+    tx = __import__("optax").inject_hyperparams(
+        __import__(
+            "medical_image_segmentation_with_visual_prompts_tpu.train.common",
+            fromlist=["adamw"]).adamw)(lr=1e-3, weight_decay=0.0)
+    _, eval_step = trainer._build_steps(frozen, tx)
+    rng = np.random.default_rng(0)
+    img6 = rng.normal(0.3, 0.2, (6, 16, 16, 8, 1)).astype(np.float32)
+    msk6 = (rng.random((6, 16, 16, 8, 1)) > 0.5).astype(np.float32)
+    img8 = np.concatenate([img6, img6[:2]])
+    msk8 = np.concatenate([msk6, msk6[:2]])
+    valid8 = jnp.asarray([1.0] * 6 + [0.0] * 2)
+    loss6, stats6 = eval_step(trainable, bs, jnp.asarray(img6),
+                              jnp.asarray(msk6), jnp.ones((6,)))
+    loss8, stats8 = eval_step(trainable, bs, jnp.asarray(img8),
+                              jnp.asarray(msk8), valid8)
+    np.testing.assert_allclose(float(loss8), float(loss6), rtol=1e-5)
+    for a, b in zip(stats6, stats8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5)
