@@ -63,6 +63,7 @@ class SwinTransformerBlock(nn.Module):
     proj_drop: float = 0.0
     use_checkpoint: bool = False
     attn_impl: str = "auto"
+    pad_mode: str = "reference"
     dtype: Any = None
 
     def setup(self):
@@ -279,7 +280,7 @@ class SwinTransformerBlock(nn.Module):
         b, h, w, d, c = x.shape
         window_size = tuple(self.window_size)
         shift_size = self.get_shift_size((h, w, d))
-        paddings = compute_paddings((h, w, d), window_size)
+        paddings = compute_paddings((h, w, d), window_size, self.pad_mode)
 
         # Pad-folding fast path (TPU fused kernel only): axes where the
         # feature map is SMALLER than the window would be zero-padded
@@ -296,7 +297,15 @@ class SwinTransformerBlock(nn.Module):
             and _use_pallas(self.attn_impl, True, 0.0))
         fold_axes = tuple(i for i, dim in enumerate((h, w, d))
                           if dim < self.window_size[i])
-        if use_fused_block and fold_axes:
+        _, pads_eff = fold_geometry((h, w, d), window_size, fold_axes,
+                                    paddings)
+        if use_fused_block and fold_axes and not any(pads_eff):
+            # Pad-folding requires that the folded axes be the ONLY
+            # padding: with material pads on other axes (pad_mode
+            # "reference" pads aligned axes too), material-pad query
+            # rows have UNMASKED virtual-pad columns (equal shift
+            # labels), breaking the all-masked fold constant — the
+            # standard padded kernel path below is exact there.
             return self._forward_folded(x, p, window_size, shift_size,
                                         paddings, fold_axes, deterministic)
         drop_kw = {} if not use_fused_block \
@@ -421,6 +430,7 @@ class ConsecutiveSwinBlocks(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     attn_impl: str = "auto"
+    pad_mode: str = "reference"
     dtype: Any = None
 
     def setup(self):
@@ -441,6 +451,7 @@ class ConsecutiveSwinBlocks(nn.Module):
                 proj_drop=self.proj_drop,
                 use_checkpoint=self.use_checkpoint,
                 attn_impl=self.attn_impl,
+                pad_mode=self.pad_mode,
                 dtype=self.dtype,
                 name=f"swin_blocks_{i}",
             ) for i in range(2)
@@ -467,7 +478,8 @@ class ConsecutiveSwinBlocks(nn.Module):
             return False
         fold_axes = tuple(i for i, d in enumerate(shape_x)
                           if d < self.window_size[i])
-        paddings = compute_paddings(shape_x, tuple(self.window_size))
+        paddings = compute_paddings(shape_x, tuple(self.window_size),
+                                    self.pad_mode)
         _, pads_eff = fold_geometry(shape_x, tuple(self.window_size),
                                     fold_axes, paddings)
         return not any(pads_eff)
@@ -483,7 +495,7 @@ class ConsecutiveSwinBlocks(nn.Module):
         shape_x = tuple(x.shape[1:4])
         w = tuple(self.window_size)
         fold_axes = tuple(i for i, d in enumerate(shape_x) if d < w[i])
-        paddings = compute_paddings(shape_x, w)
+        paddings = compute_paddings(shape_x, w, self.pad_mode)
         wc, _ = fold_geometry(shape_x, w, fold_axes, paddings)
         grid = tuple(d // ws for d, ws in zip(shape_x, wc))
 

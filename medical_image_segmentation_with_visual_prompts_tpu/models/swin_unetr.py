@@ -88,6 +88,12 @@ class ModelConfig:
     output_channels_pretrain: int = 5
     output_channels_downstream: int = 2
     attn_impl: str = "auto"
+    # "reference" replicates the reference's pad-ALL-axes-when-any-
+    # misaligned quirk exactly (ops/windows.py::compute_paddings) —
+    # required for output parity with reference checkpoints;
+    # "aligned" pads only misaligned axes (faster, self-consistent for
+    # models trained in this framework).
+    pad_mode: str = "reference"
     compute_dtype: str = "float32"  # float32 | bfloat16 activations/matmuls
 
     @property
@@ -226,6 +232,7 @@ class SwinUnetR(nn.Module):
                 proj_drop=conf.proj_drop,
                 use_checkpoint=conf.use_checkpoint,
                 attn_impl=conf.attn_impl,
+                pad_mode=conf.pad_mode,
                 dtype=conf.dtype,
                 name=f"encoder_blocks_{i}",
             ) for i in range(conf.depth_unet)
@@ -335,6 +342,7 @@ class SwinUnetR(nn.Module):
                     proj_drop=conf.proj_drop,
                     use_checkpoint=conf.use_checkpoint,
                     attn_impl=conf.attn_impl,
+                    pad_mode=conf.pad_mode,
                     dtype=conf.dtype,
                     name=f"decoder_blocks_{i}",
                 ) for i in range(depth)
@@ -367,6 +375,7 @@ class SwinUnetR(nn.Module):
                 proj_drop=conf.proj_drop,
                 use_checkpoint=conf.use_checkpoint,
                 attn_impl=conf.attn_impl,
+                pad_mode=conf.pad_mode,
                 dtype=conf.dtype,
                 name="output_layer",
             )

@@ -186,6 +186,7 @@ class SwinUpBlock(nn.Module):
     use_checkpoint: bool = False
     hidden_channels: Optional[int] = None
     attn_impl: str = "auto"
+    pad_mode: str = "reference"
     dtype: Any = None
 
     def setup(self):
@@ -210,6 +211,7 @@ class SwinUpBlock(nn.Module):
             proj_drop=self.proj_drop,
             use_checkpoint=self.use_checkpoint,
             attn_impl=self.attn_impl,
+            pad_mode=self.pad_mode,
             dtype=self.dtype,
         )
 

@@ -105,17 +105,43 @@ def get_attn_mask(shape_x: Tuple[int, int, int],
     return (diff == 0).astype(np.float32)  # 1 where same region
 
 
-def compute_paddings(shape_x: Sequence[int],
-                     window_size: Sequence[int]) -> Tuple[int, ...]:
-    """Symmetric floor/ceil padding to window multiples (swin_block.py:150-161)."""
+def compute_paddings(shape_x: Sequence[int], window_size: Sequence[int],
+                     mode: str = "reference") -> Tuple[int, ...]:
+    """Symmetric padding to window multiples.
+
+    ``mode="reference"`` replicates the reference EXACTLY
+    (swin_block.py:150-163): when ANY axis is misaligned, EVERY axis is
+    padded by ``(ws - dim % ws) / 2`` per side — including already-
+    aligned axes, which receive a spurious half-window of zeros on each
+    side (e.g. 32→40 at the canonical stage-1 geometry).  The reference
+    computes (floor, ceil) per axis but applies them through
+    ``tuple(reversed(paddings))`` in ``F.pad``, which swaps each axis's
+    lo/hi — so the APPLIED padding is (ceil, floor); we return the
+    applied values and use them consistently everywhere (for odd pad
+    totals the reference's mask/unpad slices disagree with its own
+    applied padding — a latent misalignment bug we fix by consistency;
+    every canonical geometry has even totals where the two agree).
+
+    ``mode="aligned"`` pads only misaligned axes — the production
+    optimization (identical results for checkpoints trained in this
+    framework; NOT output-compatible with reference checkpoints at
+    geometries that trigger the quirk).
+    """
     import math
+    if mode == "reference" and not any(
+            s % ws for s, ws in zip(shape_x, window_size)):
+        return (0, 0, 0, 0, 0, 0)
     pads = []
     for s, ws in zip(shape_x, window_size):
         rem = s % ws
-        if rem == 0:
+        if mode != "reference" and rem == 0:
             pads.extend([0, 0])
         else:
-            pads.extend([math.floor((ws - rem) / 2), math.ceil((ws - rem) / 2)])
+            total = (ws - rem) % ws if mode != "reference" else ws - rem
+            if mode == "reference":
+                pads.extend([math.ceil(total / 2), math.floor(total / 2)])
+            else:
+                pads.extend([math.floor(total / 2), math.ceil(total / 2)])
     return tuple(pads)
 
 

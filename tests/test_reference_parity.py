@@ -52,3 +52,27 @@ def test_ssl_decoder_forward_matches_reference():
     for name, r, o in _run("self_supervised_learning_decoder"):
         scale = max(np.abs(r).max(), 1e-6)
         assert np.abs(r - o).max() / scale < 1e-4, name
+
+
+def test_pad_quirk_geometry_matches_reference():
+    """A geometry that triggers the reference's pad-ALL-axes quirk
+    (stage feature depth < window while H/W are aligned — the canonical
+    config hits this at stages 1-2).  pad_mode='reference' (default)
+    must match the live reference exactly; this failed at rel 0.45
+    before the quirk was replicated."""
+    import parity_vs_reference as pvr
+    import numpy as np
+    hparams = pvr.build_hparams(
+        str(ROOT / "configurations" / "tiny_cpu.yml"), "downstream",
+        (32, 32, 8))
+    # Window (4,4,4): feature dims (16,16,4) at stage 0 (aligned), then
+    # (8,8,2) at stage 1 -> depth misaligned -> reference pads H/W too.
+    hparams.attn_window_size = [4, 4, 4]
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(0.3, 0.2, size=(1, 32, 32, 8, 1)).astype(np.float32)
+    sd, ref_out = pvr.reference_forward(hparams, x_np)
+    our_out, report = pvr.ours_forward(hparams, sd, x_np)
+    assert not report["unmatched_torch_keys"]
+    (_, r, o), = list(pvr.compare(ref_out, our_out, "downstream"))
+    scale = max(np.abs(r).max(), 1e-6)
+    assert np.abs(r - o).max() / scale < 1e-4

@@ -30,8 +30,17 @@ def test_partition_is_dilated():
 
 def test_compute_paddings():
     assert compute_paddings((8, 8, 4), (8, 8, 4)) == (0,) * 6
-    # 5 % 4 = 1 -> pad 3 split floor/ceil = (1, 2)
-    assert compute_paddings((5, 8, 4), (4, 8, 4)) == (1, 2, 0, 0, 0, 0)
+    # aligned mode pads only misaligned axes: 5 % 4 = 1 -> (1, 2)
+    assert compute_paddings((5, 8, 4), (4, 8, 4), mode="aligned") \
+        == (1, 2, 0, 0, 0, 0)
+    # reference mode: ANY misaligned axis pads EVERY axis by
+    # (ws - rem)/2 per side, applied (ceil, floor) via the reference's
+    # reversed() F.pad quirk (swin_block.py:154-163).
+    assert compute_paddings((5, 8, 4), (4, 8, 4)) \
+        == (2, 1, 4, 4, 2, 2)
+    # canonical stage-1 geometry: aligned H/W get a half-window each.
+    assert compute_paddings((32, 32, 2), (8, 8, 4)) \
+        == (4, 4, 4, 4, 1, 1)
 
 
 def test_attn_mask_no_padding_regions():

@@ -41,7 +41,7 @@ def _base_conf(**kw):
         use_rotation_prediction=True, use_contrastive_learning=True,
         contrastive_coding_dim=512, output_channels_pretrain=5,
         output_channels_downstream=2, attn_impl="auto",
-        compute_dtype="bfloat16",
+        pad_mode="aligned", compute_dtype="bfloat16",
         # trainer knobs
         roi_size=[128, 128, 8], seg_input_size=[128, 128, 8],
         crop_size_students=[[96, 96, 8], [80, 80, 8]],
