@@ -44,6 +44,9 @@ ATTN_IMPL = os.environ.get("BENCH_ATTN_IMPL", "auto")
 # bf16 trunk is the production serving configuration (fp32 BatchNorm
 # stats / softmax / heads; numerics-tested vs fp32 in the suite).
 COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+# "aligned" (default, framework-native) or "reference" (evaluating
+# imported reference checkpoints — pad-ALL-axes quirk, slower).
+PAD_MODE = os.environ.get("BENCH_PAD_MODE", "aligned")
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
@@ -54,7 +57,8 @@ def main():
     from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
         make_sliding_window_fn, pad_starts, window_starts
 
-    conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE)
+    conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE,
+                          pad_mode=PAD_MODE)
     model = SwinUnetR(conf)
     window = conf.attn_window_size  # attention window; roi is below
     roi = (128, 128, 8)

@@ -67,8 +67,21 @@ def save_checkpoint(path: Path, current_epoch: int, model_state: Any,
 
 
 def load_checkpoint(path: Path) -> Dict[str, Any]:
-    """Read a checkpoint dict written by :func:`save_checkpoint`."""
-    return serialization.msgpack_restore(Path(path).read_bytes())
+    """Read a checkpoint dict written by :func:`save_checkpoint`.
+
+    Given a directory (the per-epoch layout ``save_checkpoint`` writes
+    for suffix-less paths, mirroring reference segmentation.py:145-154),
+    loads the highest-epoch ``*.ckpt`` inside it — the reference's
+    ``torch.load`` would crash here, so this is a strict usability
+    superset, not a parity break.
+    """
+    path = Path(path)
+    if path.is_dir():
+        ckpts = sorted(path.glob("*.ckpt"))
+        if not ckpts:
+            raise FileNotFoundError(f"No *.ckpt files in directory {path}")
+        path = ckpts[-1]
+    return serialization.msgpack_restore(path.read_bytes())
 
 
 def restore_like(template: Any, state: Any) -> Any:
