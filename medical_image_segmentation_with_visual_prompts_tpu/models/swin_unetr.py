@@ -385,16 +385,51 @@ class SwinUnetR(nn.Module):
                 res_block=conf.res_block, name="output_layer")
 
     # ----------------------------------------------------------- forward
+    def _patch_embed_folded(self, x: jnp.ndarray) -> jnp.ndarray:
+        """TPU-inference patch embed: one space-to-depth + one matmul.
+
+        With kernel == stride (ref :148-158 always constructs it so),
+        the patch conv is exactly a non-overlapping tap matmul; at
+        inference the BatchNorm (running stats) is a per-channel affine
+        foldable into the matmul weights — same folding the seg head
+        and decoder convs already use.  Replaces XLA's conv lowering +
+        two layout copies (~2.1 ms/chunk traced) with a reshape and a
+        single MXU matmul.  Training and initialization keep the
+        conv+BN modules so the param tree and batch-stats updates are
+        identical across platforms.
+        """
+        conf = self.conf
+        k = tuple(conf.input_patch_size)
+        cw = self.input_layer_conv.conv.variables["params"]
+        bn_p = self.input_layer_norm.variables["params"]
+        bn_s = self.input_layer_norm.variables["batch_stats"]
+        cout = conf.hidden_channels[0]
+        scale = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-6)
+        eff_w = cw["kernel"].reshape(-1, cout) * scale[None, :]
+        eff_b = (cw.get("bias", 0.0) - bn_s["mean"]) * scale + bn_p["bias"]
+        b, h, w, d, cin = x.shape
+        taps = x.reshape(b, h // k[0], k[0], w // k[1], k[1],
+                         d // k[2], k[2], cin)
+        taps = taps.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, h // k[0], w // k[1], d // k[2], k[0] * k[1] * k[2] * cin)
+        return (taps.astype(conf.dtype) @ eff_w.astype(conf.dtype)
+                + eff_b.astype(conf.dtype))
+
     def forward_swin_transformer(self, x: jnp.ndarray,
                                  deterministic: bool = True):
         """Ref :46-63: returns feature list deepest-first, raw input last."""
+        from ..ops import window_attention_pallas as _wap
         conf = self.conf
         out_list = [x]
-        enc = self.input_layer_conv(x.astype(conf.dtype))
-        # BatchNorm statistics stay fp32; trunk activations in the
-        # compute dtype.
-        enc = self.input_layer_norm(
-            enc, use_running_average=deterministic).astype(conf.dtype)
+        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        if deterministic and on_tpu and not self.is_initializing():
+            enc = self._patch_embed_folded(x)
+        else:
+            enc = self.input_layer_conv(x.astype(conf.dtype))
+            # BatchNorm statistics stay fp32; trunk activations in the
+            # compute dtype.
+            enc = self.input_layer_norm(
+                enc, use_running_average=deterministic).astype(conf.dtype)
         out_list.insert(0, enc)
         for j in range(conf.depth_unet):
             if not conf.use_encoder_prompting:

@@ -166,31 +166,41 @@ def window_shift(x_win: jnp.ndarray, grid: Sequence[int],
     """
     b, p_tot, m_tot, c = x_win.shape
     y = x_win.reshape(b, *grid, *window_size, c)
-    for ax in range(3):
-        s = shift_size[ax]
-        if s == 0:
-            continue
-        wa, ia = 1 + ax, 4 + ax
-        p = grid[ax]
+
+    # Per-axis maps touch disjoint axes (window axis 1+ax, token axis
+    # 4+ax), so they commute; the cascade equals ONE concat over the
+    # Cartesian product of per-axis window segments, each block
+    # materialized once with its token rolls — a single pass over the
+    # tensor instead of one materialization per shifted axis.
+    def axis_segments(ax):
+        """[(window (lo, hi), token roll), ...] along axis ``ax``."""
+        s, p = shift_size[ax], grid[ax]
         s0, q0 = s % p, s // p
+        if s == 0:
+            return [((0, p), 0)]
         if not inverse:
             if s0 == 0:
-                y = jnp.roll(y, -q0, axis=ia)
-                continue
-            top = jax.lax.slice_in_dim(y, s0, p, axis=wa)
-            if q0:
-                top = jnp.roll(top, -q0, axis=ia)
-            bot = jnp.roll(jax.lax.slice_in_dim(y, 0, s0, axis=wa),
-                           -(q0 + 1), axis=ia)
-            y = jnp.concatenate([top, bot], axis=wa)
-        else:
-            if s0 == 0:
-                y = jnp.roll(y, q0, axis=ia)
-                continue
-            top = jnp.roll(jax.lax.slice_in_dim(y, p - s0, p, axis=wa),
-                           q0 + 1, axis=ia)
-            bot = jax.lax.slice_in_dim(y, 0, p - s0, axis=wa)
-            if q0:
-                bot = jnp.roll(bot, q0, axis=ia)
-            y = jnp.concatenate([top, bot], axis=wa)
+                return [((0, p), -q0)]
+            return [((s0, p), -q0), ((0, s0), -(q0 + 1))]
+        if s0 == 0:
+            return [((0, p), q0)]
+        return [((p - s0, p), q0 + 1), ((0, p - s0), q0)]
+
+    segs = [axis_segments(ax) for ax in range(3)]
+
+    def block(w1, r1, w2, r2, w3, r3):
+        blk = y[:, w1[0]:w1[1], w2[0]:w2[1], w3[0]:w3[1]]
+        for ia, r in ((4, r1), (5, r2), (6, r3)):
+            if r % window_size[ia - 4]:
+                blk = jnp.roll(blk, r, axis=ia)
+        return blk
+
+    def cat(parts, axis):
+        return parts[0] if len(parts) == 1 \
+            else jnp.concatenate(parts, axis=axis)
+
+    y = cat([cat([cat([block(w1, r1, w2, r2, w3, r3)
+                       for w3, r3 in segs[2]], 3)
+                  for w2, r2 in segs[1]], 2)
+             for w1, r1 in segs[0]], 1)
     return y.reshape(b, p_tot, m_tot, c)

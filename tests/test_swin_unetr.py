@@ -214,3 +214,24 @@ def test_full_res_block_unetr_up_path():
     out = model.apply(variables, x, deterministic=True,
                       mutable=["batch_stats"])[0]
     assert out["downstream"].shape == (1, 32, 32, 8, 2)
+
+
+def test_patch_embed_folded_matches_conv_bn():
+    """TPU-inference folded patch embed (space-to-depth matmul with BN
+    running stats folded in) == input conv + BatchNorm(inference)."""
+    conf = ModelConfig(training_mode="downstream", **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(3), X_SHAPE, jnp.float32)
+    model, variables = _init(conf, x)
+    # Perturb BN running stats so the folding is non-trivial.
+    stats = variables["batch_stats"]["input_layer_norm"]
+    key_m, key_v = jax.random.split(jax.random.PRNGKey(4))
+    stats["mean"] = 0.3 * jax.random.normal(key_m, stats["mean"].shape)
+    stats["var"] = jnp.exp(jax.random.normal(key_v, stats["var"].shape))
+
+    bound = model.bind(variables)
+    want = bound.input_layer_norm(
+        bound.input_layer_conv(x), use_running_average=True)
+    got = bound._patch_embed_folded(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
