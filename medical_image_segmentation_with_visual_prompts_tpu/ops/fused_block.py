@@ -7,9 +7,10 @@ traces.  This kernel executes the ENTIRE
 ``SwinTransformerBlock.forward_attn_mlp`` inner body (reference
 swin_block.py:205-227) in VMEM per window group:
 
-    kv   = concat(x, tokens)
-    y    = LN1(kv)                     (fp32 statistics, eps 1e-6)
-    q    = y[:m] Wq ; k = y Wk ; v = y Wv          (bf16 MXU, fp32 acc)
+    y    = LN1(x)                      (fp32 statistics, eps 1e-6)
+    q    = y Wq ; k = concat(y Wk, ktok) ; v = concat(y Wv, vtok)
+           (bf16 MXU, fp32 acc; ktok/vtok = LN1(tokens) Wk/Wv are
+            per-batch constants hoisted out of the kernel)
     a    = packed block-diagonal head attention    (fp32 softmax)
     x1   = x + (a Wproj + bproj)                   (residual)
     x2   = x1 + (LN2(x1) Wmlp + bmlp)              (single-Linear "MLP")
@@ -79,8 +80,8 @@ def _ln(x, scale, bias):
     return y * scale + bias
 
 
-def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
-                  wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
+def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
+                  wk_ref, wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
                   bm_ref, bias_ref, mask_ref, colmask_ref, seed_ref, o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
@@ -92,14 +93,12 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
     x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
-    if i > 0:
-        tok = tok_ref[:].astype(jnp.float32)              # [i, c]
-        tok_g = jnp.concatenate([tok[None]] * g, axis=0)  # [g, i, c]
-        kv = jnp.concatenate([x, tok_g], axis=1)          # [g, m+i, c]
-    else:
-        kv = x
+    # Prompt-token K/V rows are per-batch constants: their LN and Wk/Wv
+    # projections are hoisted OUT of the kernel (computed once per layer
+    # call in _forward) and DMA'd in pre-projected — the in-kernel k/v
+    # matmuls run on content (+fold) rows only.
     ln1b = ln1b_ref[0].astype(jnp.float32)
-    y = _ln(kv, ln1s_ref[0].astype(jnp.float32)[None, None, :],
+    y = _ln(x, ln1s_ref[0].astype(jnp.float32)[None, None, :],
             ln1b[None, None, :])
     if fold_mode:
         # Virtual pad rows: row 0's key is LN(0) = ln1_bias (FOLD_KEY)
@@ -112,8 +111,8 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
             zpad = jnp.zeros((g, n_fold - 1, c), jnp.float32)
             krow = jnp.concatenate([krow, zpad], axis=1)
             vrow = jnp.concatenate([vrow, zpad], axis=1)
-        yk = jnp.concatenate([y[:, :m], krow, y[:, m:]], axis=1)
-        yv = jnp.concatenate([y[:, :m], vrow, y[:, m:]], axis=1)
+        yk = jnp.concatenate([y, krow], axis=1)
+        yv = jnp.concatenate([y, vrow], axis=1)
     else:
         yk = yv = y
     y16 = y.astype(jnp.bfloat16)
@@ -137,6 +136,13 @@ def _block_kernel(x_ref, tok_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref,
     v = dot2(yv.astype(jnp.bfloat16).reshape(g * nk, c),
              wv_ref[:].astype(jnp.bfloat16)) \
         .astype(jnp.bfloat16).reshape(g, nk, c)
+    if i > 0:
+        ktok = ktok_ref[:].astype(jnp.bfloat16)           # [i, c]
+        vtok = vtok_ref[:].astype(jnp.bfloat16)
+        k = jnp.concatenate(
+            [k, jnp.concatenate([ktok[None]] * g, axis=0)], axis=1)
+        v = jnp.concatenate(
+            [v, jnp.concatenate([vtok[None]] * g, axis=0)], axis=1)
     colmask = colmask_ref[:].astype(jnp.bfloat16)         # [h, c]
     colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
@@ -310,11 +316,27 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
                              memory_space=pltpu.VMEM)
     colmask_spec = pl.BlockSpec((num_heads, c), lambda idx: (0, 0),
                                 memory_space=pltpu.VMEM)
-    in_specs = [x_spec, tok_spec, vec(c), vec(c), mat, mat, mat, mat,
-                vec(c), vec(c), vec(c), mat, vec(c), bias_spec]
-    tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x.dtype)
+    in_specs = [x_spec, tok_spec, tok_spec, vec(c), vec(c), mat, mat, mat,
+                mat, vec(c), vec(c), vec(c), mat, vec(c), bias_spec]
+    # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
+    # (tiny [i, c] matmuls) instead of once per grid step inside the
+    # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
+    if i > 0:
+        tln = _ln(tokens.astype(jnp.float32),
+                  params["ln1_scale"].astype(jnp.float32)[None, :],
+                  params["ln1_bias"].astype(jnp.float32)[None, :])
+        t16 = tln.astype(jnp.bfloat16)
+        hdot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ktok = hdot(t16, params["wk"].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16)
+        vtok = hdot(t16, params["wv"].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16)
+    else:
+        ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
     v2 = lambda a: a.reshape(1, -1)
-    args = [x, tok_arg,
+    args = [x, ktok, vtok,
             v2(params["ln1_scale"]), v2(params["ln1_bias"]), params["wq"],
             params["wk"], params["wv"], params["wproj"], v2(params["bproj"]),
             v2(params["ln2_scale"]), v2(params["ln2_bias"]), params["wmlp"],
