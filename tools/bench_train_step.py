@@ -88,8 +88,9 @@ def bench_downstream(batch=2):
     msk = jnp.asarray((rng.random((batch, 128, 128, 8, 1)) > 0.7),
                       jnp.float32)
     k = jax.random.PRNGKey(0)
+    valid = jnp.ones((batch,), jnp.float32)
     ms = device_ms(lambda *a: step(*a)[3],
-                   trainable, bs, opt_state, img, msk, k)
+                   trainable, bs, opt_state, img, msk, k, valid)
     print(f"downstream step (batch {batch}, dropout 0.1): {ms:.2f} ms")
 
 
