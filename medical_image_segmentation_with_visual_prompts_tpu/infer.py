@@ -36,7 +36,7 @@ import numpy as np
 
 from .data import save_nifti
 from .data.transforms import load_image, scale_intensity_range
-from .models import ModelConfig, SwinUnetR
+from .models import ModelConfig, SwinUnetR, prefill_bias_cache
 from .parallel import BucketedInference, window_starts
 from .utils import get_full_configs, load_checkpoint, restore_like
 
@@ -58,11 +58,13 @@ def segment_volume(conf, variables, volume: np.ndarray,
     """[H, W, D, 1] preprocessed volume -> [H, W, D] int labels."""
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
+    roi = tuple(conf.roi_size)
+    variables = prefill_bias_cache(model, variables, roi,
+                                   conf.input_channels)
 
     def apply_fn(batch):
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
-    roi = tuple(conf.roi_size)
     # Bucketed: heterogeneous volume shapes share O(#buckets) programs.
     runner = BucketedInference(apply_fn, roi, chunk,
                                conf.output_channels_downstream)
@@ -112,11 +114,13 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
+    roi = tuple(conf.roi_size)
+    variables = prefill_bias_cache(model, variables, roi,
+                                   conf.input_channels)
 
     def apply_fn(batch):
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
-    roi = tuple(conf.roi_size)
     runner = BucketedInference(apply_fn, roi, chunk,
                                conf.output_channels_downstream)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)

@@ -49,7 +49,21 @@ class RelativePE(nn.Module):
 
     @nn.compact
     def __call__(self, dim_h: int, dim_w: int, dim_d: int, dim_i: int = 0):
-        """Bias ``[1, num_heads, n + dim_i, n + dim_i]``, n = dim_h*dim_w*dim_d."""
+        """Bias ``[1, num_heads, n + dim_i, n + dim_i]``, n = dim_h*dim_w*dim_d.
+
+        The bias is a pure function of the params and static dims, yet a
+        jitted scan over model forwards (sliding-window inference)
+        re-derives it every chunk — XLA's LICM declines the broadcast-
+        heavy fusion.  When the caller provides a pre-filled
+        ``bias_cache`` collection (see
+        ``models.swin_unetr.prefill_bias_cache``), the assembled tensor
+        is read back instead of recomputed; never use the cache in
+        training, where params change step to step.
+        """
+        cache_key = f"bias_{dim_h}x{dim_w}x{dim_d}_{dim_i}"
+        if not self.is_initializing() and self.has_variable("bias_cache",
+                                                            cache_key):
+            return self.get_variable("bias_cache", cache_key)
         scale = self.embed_dim ** -0.5
         axes = []
         for name, dim, cap, ap in (("h", dim_h, self.max_cap_dist[0], self.max_abs_pos[0]),
@@ -80,11 +94,18 @@ class RelativePE(nn.Module):
             weights_token = self.param("weights_token", _xavier,
                                        (self.num_heads, self.embed_dim))
         if dim_i == 0:
-            return content[None]
-        token_emb = enc_token.reshape(-1, self.embed_dim)[:dim_i]
-        token_scores = jnp.einsum("hc,nc->hn", weights_token, token_emb) * scale
-        total = jnp.zeros((self.num_heads, n + dim_i, n + dim_i), content.dtype)
-        total = total.at[:, :n, :n].set(content)
-        total = total.at[:, :n, n:].set(
-            jnp.broadcast_to(token_scores[:, None, :], (self.num_heads, n, dim_i)))
-        return total[None]
+            out = content[None]
+        else:
+            token_emb = enc_token.reshape(-1, self.embed_dim)[:dim_i]
+            token_scores = jnp.einsum("hc,nc->hn", weights_token,
+                                      token_emb) * scale
+            total = jnp.zeros((self.num_heads, n + dim_i, n + dim_i),
+                              content.dtype)
+            total = total.at[:, :n, :n].set(content)
+            total = total.at[:, :n, n:].set(jnp.broadcast_to(
+                token_scores[:, None, :], (self.num_heads, n, dim_i)))
+            out = total[None]
+        if (not self.is_initializing()
+                and self.is_mutable_collection("bias_cache")):
+            self.put_variable("bias_cache", cache_key, out)
+        return out

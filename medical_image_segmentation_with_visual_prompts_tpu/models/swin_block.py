@@ -114,6 +114,20 @@ class SwinTransformerBlock(nn.Module):
             "wmlp": mlp["kernel"], "bmlp": mlp["bias"],
         }
 
+    def _cached_bias(self, name: str, compute):
+        """Memoize a param-only bias tensor in the ``bias_cache``
+        collection (pre-filled once per program by
+        ``models.swin_unetr.prefill_bias_cache``; recomputed fresh when
+        no cache is provided, e.g. during training)."""
+        if not self.is_initializing() and self.has_variable("bias_cache",
+                                                            name):
+            return self.get_variable("bias_cache", name)
+        val = compute()
+        if (not self.is_initializing()
+                and self.is_mutable_collection("bias_cache")):
+            self.put_variable("bias_cache", name, val)
+        return val
+
     def _forward_folded(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                         window_size, shift_size, paddings,
                         fold_axes, deterministic=True) -> jnp.ndarray:
@@ -182,18 +196,8 @@ class SwinTransformerBlock(nn.Module):
         padded_full = tuple(dims[i] + paddings[2 * i] + paddings[2 * i + 1]
                             for i in range(3))
 
-        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
-                           n_tokens)[0]             # [heads, N, N]
-        bias_rows = jnp.take(pos_bias, ci, axis=1)   # [H, Mc, N]
-        bias_cc = jnp.take(bias_rows, ci, axis=2)    # [H, Mc, Mc]
-        bias_cp = bias_rows[:, :, n_full:]           # [H, Mc, I]
-
         shifted = any(s > 0 for s in shift_size)
         if shifted:
-            # Masked pad columns each contribute exp(0): fold into one
-            # unmasked column with zero key and bias ln(n_pad).
-            fold_col = jnp.full((pos_bias.shape[0], m_c, 1),
-                                float(np.log(n_pad)), pos_bias.dtype)
             full_mask = get_attn_mask(padded_full, tuple(window_size),
                                       tuple(shift_size),
                                       tuple(paddings))   # numpy [P, N, N]
@@ -205,18 +209,38 @@ class SwinTransformerBlock(nn.Module):
             mask = jnp.asarray(assembled_mask)[None, :, None]
             fold_mode = FOLD_COUNT
         else:
-            # Unmasked pad columns share one key; fold their positional
-            # biases by logsumexp.
-            pi = np.setdiff1d(np.arange(n_full), ci)
-            bias_pads = jnp.take(bias_rows, pi, axis=2)
-            fold_col = jax.nn.logsumexp(bias_pads, axis=-1, keepdims=True)
             mask = None
             fold_mode = FOLD_KEY
-        if n_fold > 1:  # alignment columns: softmax weight exp(-1e30) = 0
-            dead = jnp.full((pos_bias.shape[0], m_c, n_fold - 1), -1e30,
-                            pos_bias.dtype)
-            fold_col = jnp.concatenate([fold_col, dead], axis=-1)
-        bias = jnp.concatenate([bias_cc, fold_col, bias_cp], axis=-1)
+
+        def build_bias():
+            pos_bias = self.pe(window_size[0], window_size[1],
+                               window_size[2], n_tokens)[0]  # [heads, N, N]
+            bias_rows = jnp.take(pos_bias, ci, axis=1)   # [H, Mc, N]
+            bias_cc = jnp.take(bias_rows, ci, axis=2)    # [H, Mc, Mc]
+            bias_cp = bias_rows[:, :, n_full:]           # [H, Mc, I]
+            if shifted:
+                # Masked pad columns each contribute exp(0): fold into
+                # one unmasked column with zero key and bias ln(n_pad).
+                fold_col = jnp.full((pos_bias.shape[0], m_c, 1),
+                                    float(np.log(n_pad)), pos_bias.dtype)
+            else:
+                # Unmasked pad columns share one key; fold their
+                # positional biases by logsumexp.
+                pi = np.setdiff1d(np.arange(n_full), ci)
+                bias_pads = jnp.take(bias_rows, pi, axis=2)
+                fold_col = jax.nn.logsumexp(bias_pads, axis=-1,
+                                            keepdims=True)
+            if n_fold > 1:  # alignment cols: softmax weight exp(-1e30)=0
+                dead = jnp.full((pos_bias.shape[0], m_c, n_fold - 1),
+                                -1e30, pos_bias.dtype)
+                fold_col = jnp.concatenate([fold_col, dead], axis=-1)
+            return jnp.concatenate([bias_cc, fold_col, bias_cp], axis=-1)
+
+        key = ("foldbias_w{}_d{}_p{}_f{}_s{}_t{}".format(
+            "x".join(map(str, window_size)), "x".join(map(str, dims)),
+            "-".join(map(str, paddings)),
+            "".join(map(str, sorted(fold_axes))), int(shifted), n_tokens))
+        bias = self._cached_bias(key, build_bias)
         bias = bias[None, None]                     # [1, 1, H, Mc, N']
 
         head_dim = self.hidden_channels // self.num_heads

@@ -528,3 +528,30 @@ class SwinUnetR(nn.Module):
         if mode == "downstream":
             return self.forward_downstream(x, deterministic)
         raise ValueError(f"Training mode {mode} not available!")
+
+
+def prefill_bias_cache(model: SwinUnetR, variables: dict,
+                       input_size, input_channels: int = 1) -> dict:
+    """Fill the ``bias_cache`` collection with one tiny forward pass.
+
+    The relative-position biases (and the fused path's assembled fold
+    biases) are pure functions of the params and static window geometry,
+    but a jitted scan over chunks re-derives them every iteration
+    (~1.7 ms/volume at the flagship config).  This runs ONE batch-1
+    forward at ``input_size`` with ``mutable=['bias_cache']`` and
+    returns ``variables`` with the filled collection merged in — pass
+    the result to inference ``apply`` calls so every bias becomes a
+    loop-invariant program constant.
+
+    Only for inference: the cache snapshots the current params, so it
+    must never be threaded through a training step, and it never enters
+    checkpoints (the trainers save params/batch_stats only).  The
+    spatial ``input_size`` must match the real per-window apply shape —
+    cache keys carry the window/fold geometry, and entries for other
+    geometries simply miss (falling back to recompute, correct but not
+    faster).  Costs one extra small (batch-1) compile per geometry.
+    """
+    x = jnp.zeros((1, *tuple(input_size), input_channels), jnp.float32)
+    _, mut = model.apply(variables, x, deterministic=True,
+                         mutable=["bias_cache"])
+    return {**variables, "bias_cache": mut["bias_cache"]}

@@ -298,6 +298,12 @@ class SegmentationTrainer:
         model = self.model
         num_classes = self.num_classes
         active = tuple(conf.active_labels_downstream)
+        # Inference-only: pre-fill the position-bias cache so per-chunk
+        # forwards read the biases instead of re-deriving them.
+        from ..models import prefill_bias_cache
+        variables = prefill_bias_cache(model, variables,
+                                       tuple(conf.roi_size),
+                                       conf.input_channels)
         # Batched prompt-conditioned sliding-window serving: under a
         # `mesh_data` mesh the window chunk is sharded across devices
         # (chunk rounded up to a mesh multiple; padded windows are
