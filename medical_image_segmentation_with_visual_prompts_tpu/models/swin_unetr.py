@@ -95,6 +95,10 @@ class ModelConfig:
     # models trained in this framework).
     pad_mode: str = "reference"
     compute_dtype: str = "float32"  # float32 | bfloat16 activations/matmuls
+    # TPU inference: fold the output upsample's depth axis into the seg
+    # head's lane matrix (exact composition; False forces the plain
+    # upsample-then-head chain, used by parity tests/ablations).
+    fold_head_depth: bool = True
 
     @property
     def dtype(self):
@@ -161,9 +165,12 @@ class _SegHead(nn.Module):
                                  use_running_average=None)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 depth_up: int = 1) -> jnp.ndarray:
         from ..ops import window_attention_pallas as _wap
-        from ..ops.conv_fold import conv3d_depth_lanes, conv3d_tap_matmul
+        from ..ops.conv_fold import (conv3d_depth_lanes,
+                                     conv3d_depth_lanes_upsampled,
+                                     conv3d_tap_matmul)
         from ..ops.conv_small import conv3d_small_cout
         kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, x.shape[-1], self.out_channels))
@@ -178,7 +185,22 @@ class _SegHead(nn.Module):
         if on_tpu and deterministic and not self.is_initializing():
             from .unet_blocks import bn_fold
             scale, shift = bn_fold(self.norm)
+            if depth_up > 1:
+                # Head over a depth-LOW latent with the trilinear depth
+                # upsample folded into the lane matrix (exact; see
+                # conv3d_depth_lanes_upsampled).
+                from ..ops.resize import interp_matrix
+                d_hi = x.shape[3] * depth_up
+                up = jnp.asarray(interp_matrix(x.shape[3], d_hi,
+                                               align_corners=False))
+                return conv3d_depth_lanes_upsampled(
+                    x, kernel, bias, scale, shift, d_hi=d_hi,
+                    up_matrix=up)
             return conv3d_depth_lanes(x, kernel, bias, scale, shift)
+        if depth_up > 1:
+            raise ValueError(
+                "depth_up requires the TPU inference path "
+                "(deterministic, non-initializing)")
         x = self.norm(x, use_running_average=deterministic)
         if x.shape[3] <= 4:
             # Depth-folded tap matmul (27 taps -> 9) wins only at
@@ -468,8 +490,15 @@ class SwinUnetR(nn.Module):
         t = tokens[idx]
         return jnp.broadcast_to(t[None], (batch,) + t.shape)
 
-    def forward_decoder(self, c, deterministic: bool = True):
-        """Ref :86-112: bottleneck + residual add, prompted up path."""
+    def forward_decoder(self, c, deterministic: bool = True,
+                        up_scale=(2, 2, 2)):
+        """Ref :86-112: bottleneck + residual add, prompted up path.
+
+        ``up_scale`` only affects the ``unetr_res_block == 'none'``
+        plain-upsample output layer; ``forward_downstream`` passes
+        (2, 2, 1) on the TPU inference path to defer the depth axis into
+        the seg head's lane matrix (exact composition).
+        """
         conf = self.conf
         b = self.bottleneck(c[0]) + c[0]
         dec = b
@@ -485,7 +514,7 @@ class SwinUnetR(nn.Module):
             dec = self.decoder_blocks[j](dec, res, [p_w, p_sw],
                                          deterministic=deterministic)
         if conf.unetr_res_block == "none":
-            out = upsample_trilinear(dec, (2, 2, 2), align_corners=False)
+            out = upsample_trilinear(dec, up_scale, align_corners=False)
             out = out.astype(jnp.float32)
         else:
             if not conf.use_decoder_prompting:
@@ -513,6 +542,26 @@ class SwinUnetR(nn.Module):
 
     def forward_downstream(self, x: jnp.ndarray, deterministic: bool = True):
         """Ref :123-127."""
+        from ..ops import window_attention_pallas as _wap
+        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        if (self.conf.unetr_res_block == "none" and deterministic
+                and self.conf.fold_head_depth
+                and on_tpu and not self.is_initializing()):
+            # TPU inference: the output layer is a plain trilinear x2
+            # upsample and the head contracts (depth x channel) lanes,
+            # so the depth axis of the upsample folds exactly into the
+            # head matmul — skip it here (H/W upsample only) and let the
+            # head emit depth-high lanes.  Removes the largest einsum of
+            # the output chain (full-resolution depth interp) and halves
+            # the head contraction.
+            out_enc = self.forward_ssl_encoder(x, deterministic)
+            out_dec = self.forward_decoder(out_enc["out_vit"],
+                                           deterministic,
+                                           up_scale=(2, 2, 1))
+            seg = self.head_downstream(out_dec["latent_outputs"],
+                                       deterministic=deterministic,
+                                       depth_up=2)
+            return {"downstream": seg.astype(jnp.float32)}
         out_dec = self.forward_ssl_decoder(x, deterministic)
         seg = self.head_downstream(out_dec["latent_outputs"],
                                    deterministic=deterministic)

@@ -123,6 +123,56 @@ def conv3d_depth_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
     return out
 
 
+def conv3d_depth_lanes_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
+                                 bias=None, scale=None, shift=None,
+                                 d_hi: int = None, up_matrix=None,
+                                 dtype=jnp.bfloat16) -> jnp.ndarray:
+    """``conv3d_depth_lanes`` composed with a depth-axis linear resize.
+
+    Exactly equivalent (up to fp rounding) to
+    ``conv3d_depth_lanes(resize_d(x, d_hi), ...)`` where ``resize_d``
+    applies ``up_matrix [d_hi, d_lo]`` along depth: the resize is linear
+    in the depth lanes, so it folds into the banded tap matrix —
+    including the clamped interpolation border rows, which are ordinary
+    rows of the dense matrix.  Kills the most expensive axis of the
+    decoder output upsample (the full-resolution depth einsum) and
+    halves the head matmul's contraction dim: the head consumes the
+    depth-LOW tensor directly and emits depth-HIGH lanes.
+
+    A preceding inference-mode BatchNorm (``scale``/``shift``) is
+    applied per channel on the low-depth input — exact, because the
+    per-channel affine commutes with the depth interpolation (every
+    interpolation row sums to 1).
+    """
+    b, h, w, d_lo, cin = x.shape
+    cout = kernel.shape[-1]
+    y = x
+    if scale is not None:
+        y = y * scale + shift
+    x2 = y.astype(dtype).reshape(b, h, w, d_lo * cin)
+    # Compose in fp32, cast once: wall'[(j,c),col] = sum_d U[d,j] w2[(d,c),col].
+    w2 = depth_fold_weights(kernel.astype(jnp.float32), d_hi)
+    w3 = w2.reshape(3, 3, d_hi, cin, d_hi * cout)
+    w3 = jnp.einsum("dj,abdco->abjco", up_matrix.astype(jnp.float32), w3)
+    wall = (w3.reshape(3, 3, d_lo * cin, d_hi * cout)
+            .transpose(2, 0, 1, 3).reshape(d_lo * cin, 9 * d_hi * cout)
+            .astype(dtype))
+    z = jnp.einsum("bhwc,co->bhwo", x2, wall)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b, h, w, d_hi * cout), jnp.float32)
+    idx = 0
+    for ih in range(3):
+        for iw in range(3):
+            tap = zp[:, ih:ih + h, iw:iw + w,
+                     idx * d_hi * cout:(idx + 1) * d_hi * cout]
+            out = out + tap.astype(jnp.float32)
+            idx += 1
+    out = out.reshape(b, h, w, d_hi, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def fold_plan(x_shape, kernel_size, strides, padding, features):
     """Pick a folded implementation, or None for the direct conv.
 

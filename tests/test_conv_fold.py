@@ -1,5 +1,7 @@
 """Depth-folded conv parity: both fast paths equal the direct 3D conv."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,3 +82,65 @@ def test_conv3d_module_fast_path(monkeypatch):
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
     got = np.asarray(m.apply(v, x))   # folded fast path
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d_lo", [2, 4])
+def test_depth_lanes_upsampled_matches_upsample_then_conv(d_lo):
+    # conv3d_depth_lanes_upsampled == direct conv on the depth-upsampled
+    # tensor (the depth interp folds exactly into the lane matrix,
+    # clamped border rows included).
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.conv_fold \
+        import conv3d_depth_lanes_upsampled
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.resize \
+        import interp_matrix, resize_trilinear
+    rng = np.random.default_rng(d_lo)
+    cin, cout, d_hi = 5, 3, 2 * d_lo
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, d_lo, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)
+                               ).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.5 + 1)
+    shift = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.1)
+    x_hi = resize_trilinear(x, (8, 8, d_hi), align_corners=False)
+    want = np.asarray(_direct(x_hi * scale + shift, k, b))
+    up = jnp.asarray(interp_matrix(d_lo, d_hi, False))
+    got = np.asarray(conv3d_depth_lanes_upsampled(
+        x, k, b, scale, shift, d_hi=d_hi, up_matrix=up,
+        dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_downstream_depth_folded_head_matches_reference_path(monkeypatch):
+    # Full model: the TPU inference path (H/W-only output upsample +
+    # depth-composed head) must match the plain path (full upsample +
+    # head at high resolution) on the same params.
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+        window_attention_pallas as wap)
+    from test_swin_unetr import TINY
+    conf = ModelConfig(training_mode="downstream",
+                       use_encoder_prompting=True,
+                       use_decoder_prompting=True, **TINY)
+    assert conf.unetr_res_block == "none"
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0.3, 0.2, size=(2, 32, 32, 8, 1)).astype(np.float32))
+    model = SwinUnetR(conf)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True)
+    # Same (interpret-mode TPU) backend both times: only the output
+    # chain differs between the two applies.
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    plain = dataclasses.replace(conf, fold_head_depth=False)
+    want = SwinUnetR(plain).apply(variables, x,
+                                  deterministic=True)["downstream"]
+    got = model.apply(variables, x, deterministic=True)["downstream"]
+    # bf16 tolerance: the two chains round at different points (plain
+    # interpolates in fp32 then casts the head input to bf16; the folded
+    # path composes the interp into the bf16 lane matmul).  Exact fp32
+    # parity of the op itself is covered by
+    # test_depth_lanes_upsampled_matches_upsample_then_conv; this guards
+    # the model wiring, where a bug would be O(1), not O(bf16 eps).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)

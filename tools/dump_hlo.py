@@ -36,8 +36,8 @@ def main():
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_conf
-    from medical_image_segmentation_with_visual_prompts_tpu.models import \
-        SwinUnetR
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, prefill_bias_cache)
 
     conf = _flagship_conf(attn_impl="auto", compute_dtype="bfloat16")
     model = SwinUnetR(conf)
@@ -46,6 +46,7 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x0[:1], deterministic=True)
+    variables = prefill_bias_cache(model, variables, roi, 1)  # as bench.py
 
     if args.what == "chunk":
         fn = jax.jit(lambda v, x: model.apply(

@@ -71,8 +71,8 @@ def main():
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_conf
-    from medical_image_segmentation_with_visual_prompts_tpu.models import \
-        SwinUnetR
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, prefill_bias_cache)
     from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
         make_sliding_window_fn, pad_starts, window_starts
 
@@ -84,6 +84,7 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x0[:1], deterministic=True)
+    variables = prefill_bias_cache(model, variables, roi, 1)  # as bench.py
 
     trace_dir = pathlib.Path("/tmp/mivp_trace") / args.what
     trace_dir.mkdir(parents=True, exist_ok=True)
