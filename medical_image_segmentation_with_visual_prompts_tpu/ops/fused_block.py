@@ -64,7 +64,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import window_attention_pallas as _wap
-from .window_attention_pallas import _pick_group_packed
 
 _EPS = 1e-6
 
@@ -81,15 +80,24 @@ def _ln(x, scale, bias):
 
 
 def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
-                  wk_ref, wv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
+                  wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
                   bm_ref, bias_ref, mask_ref, colmask_ref, seed_ref, o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
-                  head_block: int, attn_drop: float, proj_drop: float):
+                  head_block: int, attn_drop: float, proj_drop: float,
+                  fused_kv: bool):
     from .prng import keep_mask
     g, h, i = group, num_heads, n_tokens
     m, c = x_ref.shape[1], x_ref.shape[2]
     n = m + n_fold + i
+    # Working lane width: the fused-KV formulation (C <= 64) carries K in
+    # lanes [0, c) and V in lanes [c, 2c) of ONE tensor end to end —
+    # never sliced apart (lane slices force Mosaic relayouts).  Instead
+    # q/colmask are zero in the V lanes (scores see only K), the
+    # per-head output masks are zero in the K lanes (attention output
+    # sees only V), and the projection weight has zero rows for the K
+    # lanes.  Same MXU pass structure, half the k/v projection passes.
+    cw = 2 * c if fused_kv else c
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
     x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
@@ -102,49 +110,77 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
             ln1b[None, None, :])
     if fold_mode:
         # Virtual pad rows: row 0's key is LN(0) = ln1_bias (FOLD_KEY)
-        # or zero (FOLD_COUNT, the q·k term must vanish); its value is
-        # always LN(0).  Rows 1..n_fold-1 are sublane-alignment padding,
-        # neutralized by the -1e30 bias columns assembled outside.
+        # or zero (FOLD_COUNT, the q·k term must vanish — fixed up after
+        # the projection below); its value is always LN(0).  Rows
+        # 1..n_fold-1 are sublane-alignment padding, neutralized by the
+        # -1e30 bias columns assembled outside.
         vrow = jnp.concatenate([ln1b[None, None, :]] * g, axis=0)  # [g,1,c]
-        krow = vrow if fold_mode == FOLD_KEY else jnp.zeros_like(vrow)
         if n_fold > 1:
             zpad = jnp.zeros((g, n_fold - 1, c), jnp.float32)
-            krow = jnp.concatenate([krow, zpad], axis=1)
             vrow = jnp.concatenate([vrow, zpad], axis=1)
-        yk = jnp.concatenate([y, krow], axis=1)
         yv = jnp.concatenate([y, vrow], axis=1)
     else:
-        yk = yv = y
+        yv = y
     y16 = y.astype(jnp.bfloat16)
     # The window-group batch is FLATTENED into M for every projection
     # matmul: one MXU sequence instead of g batched ones (per-sequence
     # fixed overhead dominates at this k=C geometry — PERF.md ablation:
     # the kernel is matmul-pipeline-bound, not FLOP-bound).
-    nk = yk.shape[1]
+    nk = yv.shape[1]
     dot2 = lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # ``scale`` is folded into q at the fp32->bf16 cast: the q·k logits
     # come out of the MXU already scaled, saving one fp32 pass over the
     # much larger [g, hb*m, n] score tile per head block.
+    # (fused_kv: wq_ref is [c, 2c] = [Wq | 0], so q's V lanes are zero.)
     q = (dot2(y16[:, :m].reshape(g * m, c),
               wq_ref[:].astype(jnp.bfloat16))
-         * jnp.float32(scale)).astype(jnp.bfloat16).reshape(g, m, c)
-    k = dot2(yk.astype(jnp.bfloat16).reshape(g * nk, c),
-             wk_ref[:].astype(jnp.bfloat16)) \
-        .astype(jnp.bfloat16).reshape(g, nk, c)
-    v = dot2(yv.astype(jnp.bfloat16).reshape(g * nk, c),
-             wv_ref[:].astype(jnp.bfloat16)) \
-        .astype(jnp.bfloat16).reshape(g, nk, c)
-    if i > 0:
-        ktok = ktok_ref[:].astype(jnp.bfloat16)           # [i, c]
-        vtok = vtok_ref[:].astype(jnp.bfloat16)
-        k = jnp.concatenate(
-            [k, jnp.concatenate([ktok[None]] * g, axis=0)], axis=1)
-        v = jnp.concatenate(
-            [v, jnp.concatenate([vtok[None]] * g, axis=0)], axis=1)
-    colmask = colmask_ref[:].astype(jnp.bfloat16)         # [h, c]
-    colmask32 = colmask_ref[:].astype(jnp.float32)
+         * jnp.float32(scale)).astype(jnp.bfloat16).reshape(g, m, cw)
+    yv16 = yv.astype(jnp.bfloat16).reshape(g * nk, c)
+    if fused_kv:
+        # K and V in ONE MXU sequence: their input rows are identical
+        # (the FOLD_COUNT key fold row differs — zeroed below), and the
+        # fused [c, 2c] weight stays within one 128-lane tile at C<=64,
+        # halving the k/v projection pass count.
+        kv = dot2(yv16, wkv_ref[:].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16).reshape(g, nk, cw)
+        if fold_mode == FOLD_COUNT:
+            # The shifted-fold KEY row must be ZERO (its q·k term
+            # vanishes; the ln(n_pad) bias column carries the whole
+            # contribution) — zero the K lanes of the fold row the
+            # fused matmul produced; its V lanes stay LN(0)·Wv.
+            rows = jax.lax.broadcasted_iota(jnp.int32, (g, nk, cw), 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (g, nk, cw), 2)
+            kv = jnp.where((rows == m) & (lanes < c), jnp.bfloat16(0), kv)
+        if i > 0:
+            kvtok = ktok_ref[:].astype(jnp.bfloat16)      # [i, 2c]
+            kv = jnp.concatenate(
+                [kv, jnp.concatenate([kvtok[None]] * g, axis=0)], axis=1)
+        k = v = kv
+    else:
+        k = dot2(yv16, wkv_ref[0].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16).reshape(g, nk, c)
+        v = dot2(yv16, wkv_ref[1].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16).reshape(g, nk, c)
+        if fold_mode == FOLD_COUNT:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (g, nk, 1), 1)
+            k = jnp.where(rows == m, jnp.bfloat16(0), k)
+        if i > 0:
+            ktok = ktok_ref[:].astype(jnp.bfloat16)       # [i, c]
+            vtok = vtok_ref[:].astype(jnp.bfloat16)
+            k = jnp.concatenate(
+                [k, jnp.concatenate([ktok[None]] * g, axis=0)], axis=1)
+            v = jnp.concatenate(
+                [v, jnp.concatenate([vtok[None]] * g, axis=0)], axis=1)
+    # fused_kv: colmask_ref is [2, h, cw] — plane 0 masks each head's K
+    # lanes (for q), plane 1 its V lanes (for the attention output).
+    if fused_kv:
+        colmask = colmask_ref[0].astype(jnp.bfloat16)     # [h, cw]
+        colmask32 = colmask_ref[1].astype(jnp.float32)
+    else:
+        colmask = colmask_ref[:].astype(jnp.bfloat16)     # [h, c]
+        colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
         mask = mask_ref[:].astype(jnp.float32)            # [g, m, n]
     attn = None
@@ -152,7 +188,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         hb = min(head_block, num_heads - h0)
         qp = jnp.concatenate([q * colmask[hh][None, None, :]
                               for hh in range(h0, h0 + hb)],
-                             axis=1)                      # [g, hb*m, c]
+                             axis=1)                      # [g, hb*m, cw]
         s = jax.lax.dot_general(
             qp, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [g, hb*m, n]
@@ -171,12 +207,14 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
             probs = probs * keep_mask(seed_ref[0, 0], idx, attn_drop)
         o_full = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [g, hb*m, c]
+            preferred_element_type=jnp.float32)           # [g, hb*m, cw]
         for j in range(hb):
             part = o_full[:, j * m:(j + 1) * m, :] \
                 * colmask32[h0 + j][None, None, :]
             attn = part if attn is None else attn + part
-    proj = dot2(attn.astype(jnp.bfloat16).reshape(g * m, c),
+    # fused_kv: wp_ref is [2c, c] with zero rows for the K lanes — the
+    # garbage K-lane columns of o_full never reach the projection.
+    proj = dot2(attn.astype(jnp.bfloat16).reshape(g * m, cw),
                 wp_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bp_ref[0].astype(jnp.float32)[None, None, :]
     if proj_drop > 0.0:
@@ -272,19 +310,72 @@ _PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
                "ln2_scale", "ln2_bias", "wmlp", "bmlp")
 
 
-def _pick_head_block(num_heads: int, g: int, m: int, n: int) -> int:
-    """Largest divisor of num_heads whose fp32 score tile fits the
-    budget (2x: scores + softmax temp)."""
+# Mosaic's scoped-vmem stack limit is 16M; leave 2M for scheduling
+# copies / temps the estimate below cannot see.
+_SCOPED_VMEM_SAFE = 14 * 1024 * 1024
+
+
+def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
+                   num_heads: int, with_mask: bool,
+                   with_dropout: bool = False) -> int:
+    """Estimated peak scoped-VMEM bytes of one fused-block grid step.
+
+    Calibrated against measured Mosaic stack OOMs: predicts the
+    dropout-free fused-KV C=48/m=256/n=320/g=8 geometry at 17.4M vs the
+    compiler's reported 17.59M, and the dropout-carrying
+    C=192/m=128/n=200/g=4/hb=4 training geometry at 18.2M vs reported
+    18.79M.  A scores-tile-only proxy under-counts two things: the
+    g-scaled fp32 x-copies (LN out, residuals, attn accumulator, MLP
+    temps) + bf16 q/k/v at large C, and — in TRAINING only — the
+    counter-based dropout's u32 index tensors (ig/rr/jj/head/idx, each
+    the size of the scores tile), which is why the first two picker
+    iterations OOM'd only in the train step, never in the (dropout-
+    free) inference bench.
+    """
+    est = 2 * g * hb * m * n * 4        # fp32 scores + softmax temp
+    est += num_heads * m * n * 4        # bias block
+    if with_mask:
+        est += 2 * g * m * n * 4        # mask block (double-buffered)
+    if with_dropout:
+        est += 4 * g * hb * m * n * 4   # u32 iota/index temps (keep_mask)
+    est += 6 * g * m * c * 4            # fp32 x copies (y, x1, attn, out, MLP)
+    est += 2 * g * n * c * 4            # yv fp32 + bf16 cast
+    est += 3 * g * (m + n) * cw * 2     # q/k/v bf16 (token concat incl.)
+    est += g * hb * m * cw * 4          # o_full
+    return est
+
+
+def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
+               with_mask: bool, c: int, fused_kv: bool,
+               with_dropout: bool = False) -> tuple:
+    """Joint (window group g, head block hb) pick for the fused block.
+
+    Prefers the LARGEST g that fits :func:`_vmem_estimate` under the
+    scoped-VMEM safe limit, with the largest divisor hb that still
+    fits — measured faster than maximizing hb at the hot
+    [1024, 256, 48] geometry (PERF.md tiling sweep: g=8/hb=1 2.16 ms vs
+    g=2/hb=4 2.25 ms; landscape flat elsewhere).  More, smaller head
+    iterations also give Mosaic independent MXU/VPU work to overlap
+    (scores matmul of head i+1 vs softmax of head i).
+    """
     import os
-    forced = int(os.environ.get("MIVP_FORCE_HB", "0"))
-    if forced and num_heads % forced == 0:
-        return forced
-    for hb in range(num_heads, 0, -1):
-        if num_heads % hb:
+    forced_g = int(os.environ.get("MIVP_FORCE_G", "0"))
+    forced_hb = int(os.environ.get("MIVP_FORCE_HB", "0"))
+    cw = 2 * c if fused_kv else c
+    for g in range(min(forced_g or 8, 8), 0, -1):
+        if bp % g or (p is not None and p % g):
             continue
-        if 2 * g * hb * m * n * 4 <= _wap._VMEM_BUDGET or hb == 1:
-            return hb
-    return 1
+        for hb in range(num_heads, 0, -1):
+            if num_heads % hb:
+                continue
+            if _vmem_estimate(g, hb, m, n, c, cw, num_heads, with_mask,
+                              with_dropout) <= _SCOPED_VMEM_SAFE:
+                if forced_hb and num_heads % forced_hb == 0:
+                    hb = forced_hb
+                return g, hb
+        # not even hb=1 fits at this g: try a smaller group
+    return 1, forced_hb if (
+        forced_hb and num_heads % forced_hb == 0) else 1
 
 
 def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
@@ -295,29 +386,45 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
     n = m + n_fold + i
     dh = c // num_heads
     p = mask.shape[0] if mask is not None else None
-    g = _pick_group_packed(bp, p, num_heads, m, n)
-    hb = _pick_head_block(num_heads, g, m, n)
-    colmask_np = np.zeros((num_heads, c), np.float32)
-    for hh in range(num_heads):
-        colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    # Fused-KV formulation only below C<=64: at larger C the [c, 2c]
+    # weight spills past one 128-lane tile and the pass-count advantage
+    # disappears (C=96/384 neutral, and the extended q/scores lanes
+    # would DOUBLE the scores pass count at C=96).
+    fused_kv = 2 * c <= 128
+    cw = 2 * c if fused_kv else c
+    g, hb = _pick_g_hb(bp, p, num_heads, m, n, mask is not None, c,
+                       fused_kv, with_dropout=attn_drop > 0.0)
+    if fused_kv:
+        colmask_np = np.zeros((2, num_heads, cw), np.float32)
+        for hh in range(num_heads):
+            colmask_np[0, hh, hh * dh:(hh + 1) * dh] = 1.0      # K lanes
+            colmask_np[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
+    else:
+        colmask_np = np.zeros((num_heads, c), np.float32)
+        for hh in range(num_heads):
+            colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=mask is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
-        proj_drop=proj_drop)
+        proj_drop=proj_drop, fused_kv=fused_kv)
     x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
                           memory_space=pltpu.VMEM)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
                                   memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((c, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
-    tok_spec = pl.BlockSpec((max(i, 1), c), lambda idx: (0, 0),
-                            memory_space=pltpu.VMEM)
+    fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    mat = fix(c, c)
+    wq_spec = fix(c, cw)
+    wkv_spec = fix(c, 2 * c) if fused_kv else fix(2, c, c)
+    wp_spec = fix(cw, c)
+    tok_spec = fix(max(i, 1), cw)
     bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
                              memory_space=pltpu.VMEM)
-    colmask_spec = pl.BlockSpec((num_heads, c), lambda idx: (0, 0),
-                                memory_space=pltpu.VMEM)
-    in_specs = [x_spec, tok_spec, tok_spec, vec(c), vec(c), mat, mat, mat,
-                mat, vec(c), vec(c), vec(c), mat, vec(c), bias_spec]
+    colmask_spec = fix(*colmask_np.shape)
+    in_specs = [x_spec, tok_spec, tok_spec, vec(c), vec(c), wq_spec,
+                wkv_spec, wp_spec, vec(c), vec(c), vec(c), mat, vec(c),
+                bias_spec]
     # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
     # (tiny [i, c] matmuls) instead of once per grid step inside the
     # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
@@ -336,9 +443,24 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
     else:
         ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
     v2 = lambda a: a.reshape(1, -1)
-    args = [x, ktok, vtok,
-            v2(params["ln1_scale"]), v2(params["ln1_bias"]), params["wq"],
-            params["wk"], params["wv"], params["wproj"], v2(params["bproj"]),
+    zeros_w = jnp.zeros((c, c), params["wq"].dtype)
+    if fused_kv:
+        # [Wq | 0]: q's V lanes come out zero, so scores contract over
+        # the K lanes only; [0 ; Wproj]: the projection ignores the
+        # garbage K lanes of the attention output.
+        wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
+        wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
+        wp_arg = jnp.concatenate(
+            [zeros_w.astype(params["wproj"].dtype), params["wproj"]], axis=0)
+        ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
+    else:
+        wq_arg = params["wq"]
+        wkv = jnp.stack([params["wk"], params["wv"]], axis=0)  # [2, c, c]
+        wp_arg = params["wproj"]
+        ktok_arg, vtok_arg = ktok, vtok
+    args = [x, ktok_arg, vtok_arg,
+            v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
+            wkv, wp_arg, v2(params["bproj"]),
             v2(params["ln2_scale"]), v2(params["ln2_bias"]), params["wmlp"],
             v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
     if mask is not None:
