@@ -184,10 +184,8 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parent.parent /
-                          ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from .utils.backend import configure_backend
+    configure_backend()
     parser = ArgumentParser()
     parser.add_argument("--configs", default="example_configs.yml")
     parser.add_argument("--ckpt", required=True)

@@ -16,6 +16,11 @@ from .utils.initialization import setup_fitting, setup_testing
 
 
 def main(mode: str, hparams: Namespace):
+    # Honor JAX_PLATFORMS (platform plugins override the env var unless
+    # re-asserted through jax.config) and enable the compile cache;
+    # must run before first backend use.
+    from .utils.backend import configure_backend
+    configure_backend()
     # Multi-host controller handshake (no-op unless `distributed: true`);
     # must run before first backend use so jax.devices() is global.
     from .parallel.distributed import maybe_initialize_distributed
