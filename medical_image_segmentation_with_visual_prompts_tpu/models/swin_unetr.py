@@ -99,6 +99,12 @@ class ModelConfig:
     # head's lane matrix (exact composition; False forces the plain
     # upsample-then-head chain, used by parity tests/ablations).
     fold_head_depth: bool = True
+    # TPU inference: additionally fold the x2 H/W output upsample into
+    # the head as a parity/subpixel decomposition (exact incl. borders;
+    # ops/conv_fold.py::conv3d_parity_upsampled) — the tap einsum runs
+    # at low H/W resolution and the full-resolution upsample einsums
+    # never materialize.  Requires fold_head_depth.
+    fold_head_hw: bool = True
 
     @property
     def dtype(self):
@@ -166,10 +172,11 @@ class _SegHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 depth_up: int = 1) -> jnp.ndarray:
+                 depth_up: int = 1, hw_up: bool = False) -> jnp.ndarray:
         from ..ops import window_attention_pallas as _wap
         from ..ops.conv_fold import (conv3d_depth_lanes,
                                      conv3d_depth_lanes_upsampled,
+                                     conv3d_parity_upsampled,
                                      conv3d_tap_matmul)
         from ..ops.conv_small import conv3d_small_cout
         kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
@@ -193,6 +200,13 @@ class _SegHead(nn.Module):
                 d_hi = x.shape[3] * depth_up
                 up = jnp.asarray(interp_matrix(x.shape[3], d_hi,
                                                align_corners=False))
+                if hw_up:
+                    # ... and the x2 H/W upsample folded in as parity
+                    # stencils: the head consumes the raw decoder
+                    # output and emits the full-resolution prediction.
+                    return conv3d_parity_upsampled(
+                        x, kernel, bias, scale, shift, d_hi=d_hi,
+                        up_matrix=up)
                 return conv3d_depth_lanes_upsampled(
                     x, kernel, bias, scale, shift, d_hi=d_hi,
                     up_matrix=up)
@@ -555,12 +569,14 @@ class SwinUnetR(nn.Module):
             # the output chain (full-resolution depth interp) and halves
             # the head contraction.
             out_enc = self.forward_ssl_encoder(x, deterministic)
+            hw = self.conf.fold_head_hw
             out_dec = self.forward_decoder(out_enc["out_vit"],
                                            deterministic,
-                                           up_scale=(2, 2, 1))
+                                           up_scale=(1, 1, 1) if hw
+                                           else (2, 2, 1))
             seg = self.head_downstream(out_dec["latent_outputs"],
                                        deterministic=deterministic,
-                                       depth_up=2)
+                                       depth_up=2, hw_up=hw)
             return {"downstream": seg.astype(jnp.float32)}
         out_dec = self.forward_ssl_decoder(x, deterministic)
         seg = self.head_downstream(out_dec["latent_outputs"],

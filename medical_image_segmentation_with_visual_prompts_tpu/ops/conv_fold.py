@@ -173,6 +173,133 @@ def conv3d_depth_lanes_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
+# Parity (subpixel) stencils for a x2 linear upsample composed with a
+# 3-tap conv along the same axis.  With align_corners=False torch
+# semantics, high row 2s   = 0.25*low[s-1] + 0.75*low[s]   and
+#            high row 2s+1 = 0.75*low[s]   + 0.25*low[s+1];
+# EDGE-replicate padding of the low tensor makes these exact at the
+# clamped borders too (the clamped interp rows collapse to low[0] /
+# low[H-1], which is what replicate padding produces).  Composing with
+# conv taps kh in {-1,0,1} at high resolution, each output parity p is a
+# 3-tap stencil over low rows: _PARITY_A[p, t, kh] is the weight of
+# low[j+t] inside high[2j+p+kh].
+_PARITY_A = None
+
+
+def _parity_stencil():
+    global _PARITY_A
+    if _PARITY_A is None:
+        import numpy as np
+        a = np.zeros((2, 3, 3), np.float32)      # [parity, tap t, conv kh]
+        # p=0: high rows 2j-1 (0.75 low[j-1] + 0.25 low[j]),
+        #      2j (0.25 low[j-1] + 0.75 low[j]), 2j+1 (0.75 low[j] + 0.25 low[j+1])
+        a[0] = [[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]]
+        # p=1: high rows 2j, 2j+1, 2j+2 (0.25 low[j] + 0.75 low[j+1])
+        a[1] = [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]]
+        _PARITY_A = a
+    return _PARITY_A
+
+
+def conv3d_parity_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias=None, scale=None, shift=None,
+                            d_hi: int = None, up_matrix=None,
+                            dtype=jnp.bfloat16) -> jnp.ndarray:
+    """``conv3d_depth_lanes_upsampled`` with the x2 H/W upsample folded
+    in as a parity (subpixel) decomposition.
+
+    Exactly equivalent (up to fp rounding) to a 'same'-zero-padded
+    3x3x3 conv applied to ``resize_trilinear(x*scale+shift, (2H, 2W,
+    d_hi), align_corners=False)`` — but the tap einsum runs at the LOW
+    H/W resolution with 4x the output lanes (one (p_h, p_w) parity pair
+    per lane block), so the full-resolution upsample einsums
+    (ops/resize.py) never materialize.  Only the final [B,H,W,2,2,*]
+    -> [B,2H,2W,*] interleave touches full resolution, at the head's
+    tiny channel count.
+
+    Exactness at the borders: EDGE-replicate padding of the tap tensor
+    reproduces the clamped interpolation rows exactly; the conv's
+    zero-padding at the outermost HIGH-res rows (r=0 with tap kh=-1,
+    r=2H-1 with kh=+1) is restored by subtracting the spurious stencil
+    contribution on those four border rows/cols plus adding back the
+    four corner cross terms (inclusion-exclusion over the two axes).
+    The depth axis composes densely via ``up_matrix`` as in
+    ``conv3d_depth_lanes_upsampled``.
+    """
+    import numpy as np
+    b, h, w, d_lo, cin = x.shape
+    cout = kernel.shape[-1]
+    if d_hi is None:
+        d_hi = d_lo
+    m = d_hi * cout
+    y = x
+    if scale is not None:
+        y = y * scale + shift
+    x2 = y.astype(dtype).reshape(b, h, w, d_lo * cin)
+    # Depth composition (fp32): w3 [3(kh), 3(kw), d_lo*cin, d_hi*cout].
+    w2 = depth_fold_weights(kernel.astype(jnp.float32), d_hi)
+    w3 = w2.reshape(3, 3, d_hi, cin, m)
+    if up_matrix is not None:
+        w3 = jnp.einsum("dj,abdco->abjco", up_matrix.astype(jnp.float32), w3)
+    w3 = w3.reshape(3, 3, d_lo * cin, m)
+    a = jnp.asarray(_parity_stencil())
+    # Parity composition: [t_h, t_w, p_h, p_w, c, m] -> lane matrix with
+    # tap-major lanes so the slice-add loop consumes contiguous blocks.
+    wp = jnp.einsum("ptk,qul,klcm->tupqcm", a, a, w3)
+    wall = (wp.transpose(4, 0, 1, 2, 3, 5)
+            .reshape(d_lo * cin, 9 * 4 * m).astype(dtype))
+    z = jnp.einsum("bhwc,co->bhwo", x2, wall)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jnp.zeros((b, h, w, 4 * m), jnp.float32)
+    idx = 0
+    for ih in range(3):
+        for iw in range(3):
+            tap = zp[:, ih:ih + h, iw:iw + w, idx * 4 * m:(idx + 1) * 4 * m]
+            out = out + tap.astype(jnp.float32)
+            idx += 1
+    out = out.reshape(b, h, w, 2, 2, m)
+
+    # --- border corrections (conv zero-pad at high-res rows 0 / 2H-1) ---
+    def stencil_1d(src, wall1, n):
+        """[B, n, C] x [C, 3*2m] tap einsum + edge pad + 3 slice-adds."""
+        zz = jnp.einsum("bnc,co->bno", src, wall1)
+        zzp = jnp.pad(zz, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        acc = jnp.zeros((b, n, 2 * m), jnp.float32)
+        for t in range(3):
+            acc = acc + zzp[:, t:t + n, t * 2 * m:(t + 1) * 2 * m
+                            ].astype(jnp.float32)
+        return acc.reshape(b, n, 2, m)
+
+    # (kernel-tap index khi, low row index, output parity) per border.
+    for khi, jh, ph in ((0, 0, 0), (2, h - 1, 1)):
+        # E_h (x) T_w: W-axis parity stencil of the kh* kernel slice.
+        wh1 = (jnp.einsum("qul,lcm->ucqm", a, w3[khi])
+               .transpose(1, 0, 2, 3).reshape(d_lo * cin, 3 * 2 * m)
+               .astype(dtype))
+        ch = stencil_1d(x2[:, jh, :, :], wh1, w)
+        out = out.at[:, jh, :, ph].add(-ch)
+    for kwi, jw, pw in ((0, 0, 0), (2, w - 1, 1)):
+        # T_h (x) E_w: H-axis parity stencil of the kw* kernel slice.
+        ww1 = (jnp.einsum("ptk,kcm->tcpm", a, w3[:, kwi])
+               .transpose(1, 0, 2, 3).reshape(d_lo * cin, 3 * 2 * m)
+               .astype(dtype))
+        cw = stencil_1d(x2[:, :, jw, :], ww1, h)
+        out = out.at[:, :, jw, :, pw].add(-cw)
+    for khi, jh, ph in ((0, 0, 0), (2, h - 1, 1)):
+        for kwi, jw, pw in ((0, 0, 0), (2, w - 1, 1)):
+            # + E_h (x) E_w corner cross term.
+            cc = (x2[:, jh, jw, :].astype(jnp.float32)
+                  @ w3[khi, kwi])
+            out = out.at[:, jh, jw, ph, pw].add(cc)
+
+    # Interleave parities into full resolution; add bias.
+    out = (out.reshape(b, h, w, 2, 2, d_hi, cout)
+           .transpose(0, 1, 3, 2, 4, 5, 6)
+           .reshape(b, 2 * h, 2 * w, d_hi, cout))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def fold_plan(x_shape, kernel_size, strides, padding, features):
     """Pick a folded implementation, or None for the direct conv.
 

@@ -110,10 +110,41 @@ def test_depth_lanes_upsampled_matches_upsample_then_conv(d_lo):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_downstream_depth_folded_head_matches_reference_path(monkeypatch):
-    # Full model: the TPU inference path (H/W-only output upsample +
-    # depth-composed head) must match the plain path (full upsample +
-    # head at high resolution) on the same params.
+@pytest.mark.parametrize("hw,d_lo", [((8, 8), 2), ((6, 10), 4), ((2, 3), 2)])
+def test_parity_upsampled_matches_upsample_then_conv(hw, d_lo):
+    # conv3d_parity_upsampled == direct conv on the fully (2,2,2)-
+    # upsampled tensor: the x2 H/W upsample folds as parity stencils
+    # (clamped borders via edge padding, conv zero-pad restored by the
+    # edge/corner correction terms), the depth axis densely.
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.conv_fold \
+        import conv3d_parity_upsampled
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.resize \
+        import interp_matrix, resize_trilinear
+    rng = np.random.default_rng(d_lo + hw[0])
+    h, w = hw
+    cin, cout, d_hi = 5, 3, 2 * d_lo
+    x = jnp.asarray(rng.normal(size=(2, h, w, d_lo, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)
+                               ).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.5 + 1)
+    shift = jnp.asarray(rng.normal(size=(cin,)).astype(np.float32) * 0.1)
+    x_hi = resize_trilinear(x, (2 * h, 2 * w, d_hi), align_corners=False)
+    want = np.asarray(_direct(x_hi * scale + shift, k, b))
+    up = jnp.asarray(interp_matrix(d_lo, d_hi, False))
+    got = np.asarray(conv3d_parity_upsampled(
+        x, k, b, scale, shift, d_hi=d_hi, up_matrix=up,
+        dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fold_hw", [False, True])
+def test_downstream_depth_folded_head_matches_reference_path(
+        monkeypatch, fold_hw):
+    # Full model: the TPU inference paths (depth-composed head, and the
+    # fully folded parity head consuming the raw decoder output) must
+    # match the plain path (full upsample + head at high resolution) on
+    # the same params.
     from medical_image_segmentation_with_visual_prompts_tpu.models import (
         ModelConfig, SwinUnetR)
     from medical_image_segmentation_with_visual_prompts_tpu.ops import (
@@ -121,7 +152,8 @@ def test_downstream_depth_folded_head_matches_reference_path(monkeypatch):
     from test_swin_unetr import TINY
     conf = ModelConfig(training_mode="downstream",
                        use_encoder_prompting=True,
-                       use_decoder_prompting=True, **TINY)
+                       use_decoder_prompting=True,
+                       fold_head_hw=fold_hw, **TINY)
     assert conf.unetr_res_block == "none"
     x = jnp.asarray(np.random.default_rng(0).normal(
         0.3, 0.2, size=(2, 32, 32, 8, 1)).astype(np.float32))
