@@ -54,8 +54,9 @@ def main():
     from __graft_entry__ import _flagship_conf
     from medical_image_segmentation_with_visual_prompts_tpu.models import (
         SwinUnetR, prefill_bias_cache)
-    from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
-        make_sliding_window_fn, pad_starts, window_starts
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        gaussian_weight_acc, make_sliding_window_fn, pad_starts,
+        window_starts)
 
     conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE,
                           pad_mode=PAD_MODE)
@@ -84,14 +85,16 @@ def main():
     starts, n_valid = pad_starts(starts, CHUNK)
     volume = jax.device_put(jnp.asarray(vol_np))
     starts_d = jax.device_put(jnp.asarray(starts))
+    wacc = jax.device_put(jnp.asarray(gaussian_weight_acc(
+        starts, n_valid, roi, vol_np.shape[:3])))
 
     # Warmup (compile).
-    out = run(volume, starts_d, n_valid)
+    out = run(volume, starts_d, n_valid, wacc)
     out.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        out = run(volume, starts_d, n_valid)
+        out = run(volume, starts_d, n_valid, wacc)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     vps = REPEATS / dt

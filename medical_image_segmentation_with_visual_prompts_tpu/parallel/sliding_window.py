@@ -80,6 +80,33 @@ def _gaussian_importance(window: Sequence[int], sigma_scale: float = 0.125
     return np.maximum(g, 1e-4)
 
 
+def gaussian_weight_acc(starts, valid, window, out_spatial) -> np.ndarray:
+    """Host-side precomputed Gaussian blend-weight accumulator.
+
+    The stitched weight volume is input-INDEPENDENT (a pure function of
+    the window grid, validity and the Gaussian importance map), so
+    computing it once per (shape, grid) in numpy removes the weights
+    scan-output and its whole coset-stitch pass from the device program
+    — the device stitches probabilities only and divides by this map.
+
+    ``valid`` is either an int (count of leading valid windows) or a
+    per-window 0/1 vector; ``starts`` may include chunk padding (padded
+    rows must be marked invalid / beyond the count).
+    """
+    g = _gaussian_importance(window)
+    starts = np.asarray(starts)
+    if np.ndim(valid) == 0:
+        vmask = np.arange(starts.shape[0]) < int(valid)
+    else:
+        vmask = np.asarray(valid) > 0
+    acc = np.zeros((*out_spatial, 1), np.float32)
+    wh, ww, wd = window
+    for s, v in zip(starts, vmask):
+        if v:
+            acc[s[0]:s[0] + wh, s[1]:s[1] + ww, s[2]:s[2] + wd, 0] += g
+    return acc
+
+
 def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
                   out_spatial) -> jnp.ndarray:
     """Sum overlapping windows into a volume without sequential scatter.
@@ -154,7 +181,7 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
         shard_chunk = lambda t: t
 
     @jax.jit
-    def run(volume, starts, n_valid):
+    def run(volume, starts, n_valid, weight_acc=None):
         n = starts.shape[0]
         n_chunks = n // chunk
 
@@ -178,18 +205,27 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                     valid = jax.lax.dynamic_slice(n_valid, (idx * chunk,),
                                                   (chunk,)) > 0
                 w = gauss[..., None] * valid[:, None, None, None, None]
+                if weight_acc is not None:
+                    return None, probs * w
                 return None, (probs * w, w)
 
-            _, (wprobs, weights) = jax.lax.scan(body, None,
-                                                jnp.arange(n_chunks))
-            wprobs = wprobs.reshape((n,) + tuple(window) + (num_classes,))
-            weights = weights.reshape((n,) + tuple(window) + (1,))
             nw = int(np.prod(grid_shape))
             stride = tuple(wi // 2 for wi in window)
+            if weight_acc is not None:
+                # Blend-weight volume precomputed on the host
+                # (gaussian_weight_acc): the device stitches
+                # probabilities only.
+                _, wprobs = jax.lax.scan(body, None, jnp.arange(n_chunks))
+                wacc = weight_acc
+            else:
+                _, (wprobs, weights) = jax.lax.scan(body, None,
+                                                    jnp.arange(n_chunks))
+                weights = weights.reshape((n,) + tuple(window) + (1,))
+                wacc = _coset_stitch(weights[:nw], grid_shape, window,
+                                     stride, volume.shape[:3])
+            wprobs = wprobs.reshape((n,) + tuple(window) + (num_classes,))
             acc = _coset_stitch(wprobs[:nw], grid_shape, window, stride,
                                 volume.shape[:3])
-            wacc = _coset_stitch(weights[:nw], grid_shape, window, stride,
-                                 volume.shape[:3])
             return acc / jnp.maximum(wacc, 1e-8)
 
         # per_window mode: per-window argmax predictions [N, *window].
@@ -242,6 +278,7 @@ class BucketedInference:
         self.num_classes = num_classes
         self.mesh = mesh
         self._runs = {}
+        self._waccs = {}
 
     @property
     def compiled_programs(self) -> int:
@@ -262,6 +299,10 @@ class BucketedInference:
         pads = [(0, b - d) for b, d in zip(bucket, dims)] + [(0, 0)]
         vol = np.pad(np.asarray(cropped), pads)
         starts_p, vvec = pad_starts(starts, self.chunk, valid)
+        wkey = (bucket, dims)
+        if wkey not in self._waccs:
+            self._waccs[wkey] = jnp.asarray(gaussian_weight_acc(
+                starts_p, vvec, self.window, bucket))
         probs = self._runs[key](jnp.asarray(vol), jnp.asarray(starts_p),
-                                jnp.asarray(vvec))
+                                jnp.asarray(vvec), self._waccs[wkey])
         return probs[:dims[0], :dims[1], :dims[2]]

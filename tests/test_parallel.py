@@ -261,6 +261,45 @@ def test_bucketed_inference_program_count_and_exactness():
     assert runner.compiled_programs <= 2, runner.compiled_programs
 
 
+def test_precomputed_weight_acc_matches_device_stitch():
+    """run(..., weight_acc=host_map) == run(...) with on-device weight
+    stitching, for both validity forms (leading count and 0/1 vector)."""
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        bucketed_starts, gaussian_weight_acc)
+    roi = (8, 8, 4)
+
+    def apply_fn(batch):
+        return jnp.concatenate([batch, -batch], axis=-1) * 3.0
+
+    rng = np.random.default_rng(1)
+    # Leading-count validity (aligned grid with chunk padding).
+    vol_shape = (16, 16, 8)
+    _, starts, grid_shape = window_starts(vol_shape, roi)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=4, num_classes=2,
+                                 mode="gaussian", grid_shape=grid_shape)
+    vol = jnp.asarray(rng.normal(size=(*vol_shape, 1)).astype(np.float32))
+    starts_p, n_valid = pad_starts(starts, 4)
+    want = np.asarray(run(vol, jnp.asarray(starts_p), n_valid))
+    wacc = jnp.asarray(gaussian_weight_acc(starts_p, n_valid, roi,
+                                           vol_shape))
+    got = np.asarray(run(vol, jnp.asarray(starts_p), n_valid, wacc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # Per-window validity vector (bucketed grid: some windows invalid).
+    dims = (24, 20, 8)
+    bucket = (24, 24, 8)
+    starts, valid, grid_shape = bucketed_starts(dims, roi)
+    run = make_sliding_window_fn(apply_fn, roi, chunk=4, num_classes=2,
+                                 mode="gaussian", grid_shape=grid_shape)
+    volb = jnp.asarray(rng.normal(size=(*bucket, 1)).astype(np.float32))
+    starts_p, vvec = pad_starts(starts, 4, valid)
+    want = np.asarray(run(volb, jnp.asarray(starts_p), jnp.asarray(vvec)))
+    wacc = jnp.asarray(gaussian_weight_acc(starts_p, vvec, roi, bucket))
+    got = np.asarray(run(volb, jnp.asarray(starts_p), jnp.asarray(vvec),
+                         wacc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_pad_starts_validity_vector():
     from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
         bucketed_starts)

@@ -73,8 +73,9 @@ def main():
     from __graft_entry__ import _flagship_conf
     from medical_image_segmentation_with_visual_prompts_tpu.models import (
         SwinUnetR, prefill_bias_cache)
-    from medical_image_segmentation_with_visual_prompts_tpu.parallel import \
-        make_sliding_window_fn, pad_starts, window_starts
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        gaussian_weight_acc, make_sliding_window_fn, pad_starts,
+        window_starts)
 
     conf = _flagship_conf(attn_impl=args.attn_impl,
                           compute_dtype="bfloat16")
@@ -123,17 +124,19 @@ def main():
         starts, n_valid = pad_starts(starts, args.chunk)
         volume = jax.device_put(jnp.asarray(vol_np))
         starts_d = jax.device_put(jnp.asarray(starts))
-        out = run(volume, starts_d, n_valid)
+        wacc = jax.device_put(jnp.asarray(gaussian_weight_acc(
+            starts, n_valid, roi, vol_np.shape[:3])))
+        out = run(volume, starts_d, n_valid, wacc)
         out.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(5):
-            out = run(volume, starts_d, n_valid)
+            out = run(volume, starts_d, n_valid, wacc)
         out.block_until_ready()
         base_ms = (time.perf_counter() - t0) / 5 * 1e3
         print(f"volume: {base_ms:.2f} ms -> {1e3 / base_ms:.3f} vol/s")
         with jax.profiler.trace(str(trace_dir)):
             for _ in range(args.repeats):
-                out = run(volume, starts_d, n_valid)
+                out = run(volume, starts_d, n_valid, wacc)
             out.block_until_ready()
 
     agg, total, path = aggregate_trace(trace_dir)
