@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.windows import (compute_paddings, get_attn_mask, window_partition,
+from ..ops.windows import (compute_paddings, get_attn_labels,
+                           get_attn_mask, window_partition,
                            window_reverse)
 from .patch_merging import PatchMerging
 from .relative_pe import RelativePE
@@ -198,18 +199,21 @@ class SwinTransformerBlock(nn.Module):
 
         shifted = any(s > 0 for s in shift_size)
         if shifted:
-            full_mask = get_attn_mask(padded_full, tuple(window_size),
-                                      tuple(shift_size),
-                                      tuple(paddings))   # numpy [P, N, N]
-            mask_c = full_mask[:, ci][:, :, ci]
-            pwin = mask_c.shape[0]
-            assembled_mask = np.concatenate(
-                [mask_c, np.ones((pwin, m_c, n_fold + n_tokens),
-                                 np.float32)], axis=-1)
-            mask = jnp.asarray(assembled_mask)[None, :, None]
+            # Per-window shift-region labels (the kernel builds the
+            # equality mask in-VMEM; -1 = always-attendable fold/prompt
+            # columns).  Content cut mirrors the old [:, ci][:, :, ci]
+            # mask slicing.
+            full_labels = get_attn_labels(padded_full, tuple(window_size),
+                                          tuple(shift_size),
+                                          tuple(paddings))  # numpy [P, N]
+            labels_c = full_labels[:, ci]
+            pwin = labels_c.shape[0]
+            labels = np.concatenate(
+                [labels_c, np.full((pwin, n_fold + n_tokens), -1,
+                                   np.int32)], axis=-1)
             fold_mode = FOLD_COUNT
         else:
-            mask = None
+            labels = None
             fold_mode = FOLD_KEY
 
         def build_bias():
@@ -246,7 +250,7 @@ class SwinTransformerBlock(nn.Module):
         head_dim = self.hidden_channels // self.num_heads
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
-            bias, mask, head_dim ** -0.5, self.num_heads,
+            bias, labels, head_dim ** -0.5, self.num_heads,
             fold_mode=fold_mode, **self._drop_kw(deterministic))
 
     def _drop_kw(self, deterministic: bool) -> dict:
@@ -276,27 +280,22 @@ class SwinTransformerBlock(nn.Module):
         pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
                            n_tokens)[:, None]      # [1, 1, heads, N, N]
         if any(s > 0 for s in shift_size):
-            attn_mask = get_attn_mask(tuple(shape_x), window_size,
-                                      shift_size, (0,) * 6)  # np [P, N, N]
+            labels = get_attn_labels(tuple(shape_x), window_size,
+                                     shift_size, (0,) * 6)  # np [P, N]
             if p is not None:
-                pwin, nwin, _ = attn_mask.shape
-                total = np.zeros((pwin, nwin + n_tokens, nwin + n_tokens),
-                                 dtype=np.float32)
-                total[:, :nwin, :nwin] = attn_mask
-                total[:, :nwin, nwin:] = 1.0
-                attn_mask = total
-            attn_mask = jnp.asarray(attn_mask)[None, :, None]
+                # Prompt-token key columns are never masked: label -1.
+                labels = np.concatenate(
+                    [labels, np.full((labels.shape[0], n_tokens), -1,
+                                     np.int32)], axis=-1)
         else:
-            attn_mask = None
+            labels = None
         n_content = x_win.shape[2]
         bias_rows = pos_bias[:, :, :, :n_content, :]
-        mask_rows = None if attn_mask is None \
-            else attn_mask[:, :, :, :n_content, :]
         from ..ops.fused_block import fused_swin_block
         head_dim = self.hidden_channels // self.num_heads
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
-            bias_rows, mask_rows, head_dim ** -0.5, self.num_heads,
+            bias_rows, labels, head_dim ** -0.5, self.num_heads,
             **self._drop_kw(deterministic))
 
     def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
@@ -348,26 +347,39 @@ class SwinTransformerBlock(nn.Module):
         pos_bias = pos_bias[:, None]  # [1, 1, heads, N, N]
 
         shifted = any(s > 0 for s in shift_size)
+        labels = None
+        attn_mask = None
         if shifted:
             x_shifted = jnp.roll(
                 x, shift=(-shift_size[0], -shift_size[1], -shift_size[2]),
                 axis=(1, 2, 3))
-            attn_mask = get_attn_mask((hp, wp, dp), window_size, shift_size,
-                                      paddings)  # numpy [P, N, N]
-            if p is not None:
-                pwin, nwin, _ = attn_mask.shape
-                total = np.zeros((pwin, nwin + n_tokens, nwin + n_tokens),
-                                 dtype=np.float32)
-                total[:, :nwin, :nwin] = attn_mask
-                # Prompt tokens are never masked as keys; prompt query
-                # rows stay 0 (ref :187-200 — under the multiplicative
-                # mask those rows degrade to uniform attention).
-                total[:, :nwin, nwin:] = 1.0
-                attn_mask = total
-            attn_mask = jnp.asarray(attn_mask)[None, :, None]  # [1, P, 1, N, N]
+            if use_fused_block:
+                # The kernel consumes [P, N] region labels and builds
+                # the equality mask in-VMEM (-1 = never-masked prompt
+                # key columns).
+                labels = get_attn_labels((hp, wp, dp), window_size,
+                                         shift_size, paddings)
+                if p is not None:
+                    labels = np.concatenate(
+                        [labels, np.full((labels.shape[0], n_tokens), -1,
+                                         np.int32)], axis=-1)
+            else:
+                attn_mask = get_attn_mask((hp, wp, dp), window_size,
+                                          shift_size, paddings)  # [P, N, N]
+                if p is not None:
+                    pwin, nwin, _ = attn_mask.shape
+                    total = np.zeros((pwin, nwin + n_tokens,
+                                      nwin + n_tokens), dtype=np.float32)
+                    total[:, :nwin, :nwin] = attn_mask
+                    # Prompt tokens are never masked as keys; prompt
+                    # query rows stay 0 (ref :187-200 — under the
+                    # multiplicative mask those rows degrade to uniform
+                    # attention).
+                    total[:, :nwin, nwin:] = 1.0
+                    attn_mask = total
+                attn_mask = jnp.asarray(attn_mask)[None, :, None]
         else:
             x_shifted = x
-            attn_mask = None
 
         x_win = window_partition(x_shifted, window_size)  # [B, P, Nc, C]
         n_content = x_win.shape[2]
@@ -393,7 +405,7 @@ class SwinTransformerBlock(nn.Module):
             head_dim = self.hidden_channels // self.num_heads
             x_win = fused_swin_block(
                 x_win, p[0] if p is not None else None,
-                self._block_params(), bias_rows, mask_rows,
+                self._block_params(), bias_rows, labels,
                 head_dim ** -0.5, self.num_heads, **drop_kw)
         else:
             if p is not None:

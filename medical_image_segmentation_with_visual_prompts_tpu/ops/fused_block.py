@@ -81,7 +81,8 @@ def _ln(x, scale, bias):
 
 def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
-                  bm_ref, bias_ref, mask_ref, colmask_ref, seed_ref, o_ref, *,
+                  bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
+                  o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
                   head_block: int, attn_drop: float, proj_drop: float,
@@ -182,7 +183,16 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         colmask = colmask_ref[:].astype(jnp.bfloat16)     # [h, c]
         colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
-        mask = mask_ref[:].astype(jnp.float32)            # [g, m, n]
+        # The attention mask is pure label EQUALITY: build it in-kernel
+        # from the per-window region labels ([g, m, 1] query rows vs
+        # [g, 1, n] key columns, -1 = always-attendable fold/prompt
+        # column) instead of DMA'ing a [g, m, n] fp32 mask block per
+        # grid step — removes the largest per-step HBM stream of the
+        # masked kernels and its double-buffered VMEM.
+        lq = lq_ref[:]                                    # [g, m, 1] i32
+        lk = lk_ref[:]                                    # [g, 1, n] i32
+        mask = jnp.where((lq == lk) | (lk < 0),
+                         jnp.float32(1), jnp.float32(0))  # [g, m, n]
     attn = None
     for h0 in range(0, num_heads, head_block):
         hb = min(head_block, num_heads - h0)
@@ -232,7 +242,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     o_ref[:] = (x1 + mlp).astype(o_ref.dtype)
 
 
-def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
+def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
                      fold_mode=FOLD_NONE, n_fold=1, seeds=None,
                      attn_drop=0.0, proj_drop=0.0):
     """Pure-jnp mirror of the kernel (differentiable; used by the VJP).
@@ -272,12 +282,17 @@ def _block_reference(x, tokens, params, bias, mask, scale, num_heads,
     qh, kh, vh = split(q), split(k), split(v)
     s = jnp.einsum("xmhd,xnhd->xhmn", qh, kh) * scale
     s = s + bias[None]
-    if mask is not None:
-        # mask is per WINDOW POSITION ([p, m, n]); x rows are
+    if labels is not None:
+        # labels are per WINDOW POSITION ([p, n_keys]); x rows are
         # batch-major (b*p) — tile over the batch like the kernel's
-        # ``idx % pg`` block indexing does.
-        if mask.shape[0] != bp:
-            mask = jnp.tile(mask, (bp // mask.shape[0], 1, 1))
+        # ``idx % pg`` block indexing does.  The multiplicative mask is
+        # label equality (-1 = always-attendable fold/prompt column).
+        lab = labels
+        if lab.shape[0] != bp:
+            lab = jnp.tile(lab, (bp // lab.shape[0], 1))
+        mask = jnp.where((lab[:, :m, None] == lab[:, None, :])
+                         | (lab[:, None, :] < 0),
+                         jnp.float32(1), jnp.float32(0))
         s = s * mask[:, None]
     probs = jax.nn.softmax(s, axis=-1)
     n = kh.shape[1]
@@ -335,7 +350,10 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     est = 2 * g * hb * m * n * 4        # fp32 scores + softmax temp
     est += num_heads * m * n * 4        # bias block
     if with_mask:
-        est += 2 * g * m * n * 4        # mask block (double-buffered)
+        # In-kernel label-equality mask: one fp32 [g, m, n] temp
+        # (labels themselves are [g, m, 1] + [g, 1, n] — negligible).
+        # Half the old cost of the double-buffered DMA'd mask blocks.
+        est += g * m * n * 4
     if with_dropout:
         est += 4 * g * hb * m * n * 4   # u32 iota/index temps (keep_mask)
     est += 6 * g * m * c * 4            # fp32 x copies (y, x1, attn, out, MLP)
@@ -378,21 +396,21 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
         forced_hb and num_heads % forced_hb == 0) else 1
 
 
-def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
+def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
              interpret=False):
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
     n = m + n_fold + i
     dh = c // num_heads
-    p = mask.shape[0] if mask is not None else None
+    p = labels.shape[0] if labels is not None else None
     # Fused-KV formulation only below C<=64: at larger C the [c, 2c]
     # weight spills past one 128-lane tile and the pass-count advantage
     # disappears (C=96/384 neutral, and the extended q/scores lanes
     # would DOUBLE the scores pass count at C=96).
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
-    g, hb = _pick_g_hb(bp, p, num_heads, m, n, mask is not None, c,
+    g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0)
     if fused_kv:
         colmask_np = np.zeros((2, num_heads, cw), np.float32)
@@ -405,7 +423,7 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
             colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
-        n_tokens=i, with_mask=mask is not None, fold_mode=fold_mode,
+        n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv)
     x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
@@ -463,15 +481,22 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
             wkv, wp_arg, v2(params["bproj"]),
             v2(params["ln2_scale"]), v2(params["ln2_bias"]), params["wmlp"],
             v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
-    if mask is not None:
+    if labels is not None:
         pg = p // g
-        in_specs.append(pl.BlockSpec((g, m, n), lambda idx: (idx % pg, 0, 0),
+        # Per-window region labels, split into query-row ([p, m, 1]) and
+        # key-column ([p, 1, n]) operands so the in-kernel equality
+        # broadcasts along natural (sublane / lane) axes.
+        in_specs.append(pl.BlockSpec((g, m, 1), lambda idx: (idx % pg, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(labels[:, :m, None])
+        in_specs.append(pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(labels[:, None, :])
     else:
-        in_specs.append(pl.BlockSpec((1, 1, 1), lambda idx: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(jnp.zeros((1, 1, 1), x.dtype))
+        for shp in ((1, 1, 1), (1, 1, 1)):
+            in_specs.append(pl.BlockSpec(shp, lambda idx: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.zeros(shp, jnp.int32))
     in_specs.append(colmask_spec)
     args.append(jnp.asarray(colmask_np))
     in_specs.append(pl.BlockSpec((1, 2), lambda idx: (0, 0),
@@ -494,35 +519,35 @@ def _forward(x, tokens, params, bias, mask, scale, num_heads, fold_mode,
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
-def _fused_block(x, tokens, param_tuple, bias, mask, seeds, scale,
+def _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                  num_heads, has_tokens, fold_mode, n_fold, attn_drop,
                  proj_drop, interpret):
     params = dict(zip(_PARAM_KEYS, param_tuple))
-    return _forward(x, tokens if has_tokens else None, params, bias, mask,
+    return _forward(x, tokens if has_tokens else None, params, bias, labels,
                     scale, num_heads, fold_mode, n_fold, seeds, attn_drop,
                     proj_drop, interpret)
 
 
-def _fused_block_fwd(x, tokens, param_tuple, bias, mask, seeds, scale,
+def _fused_block_fwd(x, tokens, param_tuple, bias, labels, seeds, scale,
                      num_heads, has_tokens, fold_mode, n_fold, attn_drop,
                      proj_drop, interpret):
-    out = _fused_block(x, tokens, param_tuple, bias, mask, seeds, scale,
+    out = _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                        num_heads, has_tokens, fold_mode, n_fold, attn_drop,
                        proj_drop, interpret)
-    return out, (x, tokens, param_tuple, bias, mask, seeds)
+    return out, (x, tokens, param_tuple, bias, labels, seeds)
 
 
 def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
                      attn_drop, proj_drop, interpret, res, g):
-    x, tokens, param_tuple, bias, mask, seeds = res
+    x, tokens, param_tuple, bias, labels, seeds = res
 
-    def ref(x_, tokens_, param_tuple_, bias_, mask_, seeds_):
+    def ref(x_, tokens_, param_tuple_, bias_, labels_, seeds_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))
         return _block_reference(x_, tokens_ if has_tokens else None, params,
-                                bias_, mask_, scale, num_heads, fold_mode,
+                                bias_, labels_, scale, num_heads, fold_mode,
                                 n_fold, seeds_, attn_drop, proj_drop)
 
-    _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, mask, seeds)
+    _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, labels, seeds)
     return vjp(g)
 
 
@@ -537,7 +562,7 @@ def fold_width(m: int, n_tokens: int) -> int:
 
 def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
                      params: dict, pos_bias: jnp.ndarray,
-                     mask: Optional[jnp.ndarray], scale: float,
+                     labels: Optional[jnp.ndarray], scale: float,
                      num_heads: int, fold_mode: int = FOLD_NONE,
                      dropout_seeds: Optional[jnp.ndarray] = None,
                      attn_drop: float = 0.0, proj_drop: float = 0.0,
@@ -549,9 +574,13 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
       tokens: ``[I, C]`` prompt tokens (unbatched) or None.
       params: dict with ``ln1_scale, ln1_bias, wq, wk, wv, wproj, bproj,
         ln2_scale, ln2_bias, wmlp, bmlp``.
-      pos_bias: ``[1, 1, H, M, N]``; mask: ``[1, P, 1, M, N]`` or None,
-        where ``N = M (+1 when fold_mode) + I`` — bias/mask columns must
-        already be assembled in (content, [fold], prompt) order.
+      pos_bias: ``[1, 1, H, M, N]``; labels: per-window shift-region
+        labels ``[P, N]`` int32 or None, where ``N = M (+n_fold when
+        fold_mode) + I`` — bias/label columns must already be assembled
+        in (content, [fold], prompt) order, with label -1 on the
+        always-attendable fold/prompt columns.  The multiplicative
+        attention mask is label EQUALITY, built inside the kernel
+        (no [P, M, N] mask tensor ever reaches HBM).
       fold_mode: FOLD_NONE / FOLD_KEY (unshifted) / FOLD_COUNT (shifted).
 
     Returns: ``[B, P, M, C]`` block output.
@@ -562,13 +591,14 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
     n = m + n_fold + i
     xf = x_win.reshape(b * p, m, c)
     bias = pos_bias.reshape(num_heads, m, n)
-    msk = None if mask is None else mask.reshape(p, m, n)
+    lab = None if labels is None \
+        else jnp.asarray(labels, jnp.int32).reshape(p, n)
     param_tuple = tuple(params[k] for k in _PARAM_KEYS)
     tok_arg = tokens if tokens is not None else jnp.zeros((1, c), x_win.dtype)
     if dropout_seeds is None:
         dropout_seeds = jnp.zeros((2,), jnp.uint32)
         attn_drop = proj_drop = 0.0
-    out = _fused_block(xf, tok_arg, param_tuple, bias, msk, dropout_seeds,
+    out = _fused_block(xf, tok_arg, param_tuple, bias, lab, dropout_seeds,
                        scale, num_heads, tokens is not None, fold_mode,
                        n_fold, float(attn_drop), float(proj_drop), interpret)
     return out.reshape(b, p, m, c)

@@ -69,18 +69,22 @@ def _window_partition_np(m: np.ndarray, window_size: Sequence[int]) -> np.ndarra
 
 
 @lru_cache(maxsize=None)
-def get_attn_mask(shape_x: Tuple[int, int, int],
-                  window_size: Tuple[int, int, int],
-                  shift_size: Tuple[int, int, int],
-                  paddings: Tuple[int, int, int, int, int, int]) -> np.ndarray:
-    """Multiplicative 0/1 mask ``[P, N, N]`` (reference swin_block.py:312-364).
+def get_attn_labels(shape_x: Tuple[int, int, int],
+                    window_size: Tuple[int, int, int],
+                    shift_size: Tuple[int, int, int],
+                    paddings: Tuple[int, int, int, int, int, int]
+                    ) -> np.ndarray:
+    """Per-window shift-region labels ``[P, N]`` (int32).
 
-    Voxels with equal region labels may attend (1.0); others are blocked
-    (0.0).  Padded voxels keep their 27-region shift labels while the
-    non-padded interior is relabeled 100, replicating the reference's
-    behavior (padding can't interact with true content; under padding the
-    interior's shift-region separation collapses — a documented reference
-    quirk we preserve for parity).
+    The attention mask is pure label EQUALITY (equal labels may attend),
+    so kernels can consume these labels directly — [P, N] instead of
+    [P, N, N] — and compare on the fly; :func:`get_attn_mask` builds the
+    materialized mask from the same labels for the non-kernel paths.
+    Padded voxels keep their 27-region shift labels while the non-padded
+    interior is relabeled 100, replicating the reference's behavior
+    (padding can't interact with true content; under padding the
+    interior's shift-region separation collapses — a documented
+    reference quirk we preserve for parity, swin_block.py:312-364).
     """
     image_mask = np.zeros(shape_x, dtype=np.float32)
     # Literal reference slicing (swin_block.py:320-334) including its
@@ -101,7 +105,18 @@ def get_attn_mask(shape_x: Tuple[int, int, int],
                    paddings[2]: shape_x[1] - paddings[3],
                    paddings[4]: shape_x[2] - paddings[5]] = 100
     mask_windows = _window_partition_np(image_mask, window_size)  # [P, N]
-    diff = mask_windows[:, :, None] - mask_windows[:, None, :]
+    return mask_windows.astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def get_attn_mask(shape_x: Tuple[int, int, int],
+                  window_size: Tuple[int, int, int],
+                  shift_size: Tuple[int, int, int],
+                  paddings: Tuple[int, int, int, int, int, int]) -> np.ndarray:
+    """Multiplicative 0/1 mask ``[P, N, N]``: 1 where the
+    :func:`get_attn_labels` region labels match (may attend)."""
+    labels = get_attn_labels(shape_x, window_size, shift_size, paddings)
+    diff = labels[:, :, None] - labels[:, None, :]
     return (diff == 0).astype(np.float32)  # 1 where same region
 
 

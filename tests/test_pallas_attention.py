@@ -265,15 +265,21 @@ def test_fused_block_kernel_matches_reference():
         "bmlp": 0.1 * _rand(keys[12], (c,)),
     }
     bias = _rand(keys[13], (1, 1, h, m, n))
-    mask = (jax.random.uniform(keys[14], (1, p_, 1, m, n)) > 0.3).astype(
-        jnp.float32)
+    # Per-window shift-region labels: random equivalence classes on the
+    # content tokens, -1 (never masked) on the prompt-token columns —
+    # the production mask semantics (kernel builds equality in-VMEM).
+    lab_np = np.concatenate(
+        [np.asarray(jax.random.randint(keys[14], (p_, m), 0, 3),
+                    np.int32),
+         np.full((p_, i), -1, np.int32)], axis=-1)
+    labels = jnp.asarray(lab_np)
     scale = dh ** -0.5
-    got = fused_swin_block(x, tokens, params, bias, mask, scale, h,
+    got = fused_swin_block(x, tokens, params, bias, labels, scale, h,
                            interpret=True)
     want = _block_reference(
         x.reshape(b * p_, m, c), tokens, params,
         bias.reshape(h, m, n),
-        jnp.tile(mask.reshape(p_, m, n), (b, 1, 1)), scale, h)
+        jnp.tile(labels, (b, 1)), scale, h)
     np.testing.assert_allclose(np.asarray(got).reshape(b * p_, m, c),
                                np.asarray(want), rtol=4e-2, atol=4e-2)
 
