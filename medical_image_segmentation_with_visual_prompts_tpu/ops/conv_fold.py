@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def depth_fold_weights(kernel: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -108,18 +109,44 @@ def conv3d_depth_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias=None,
     w2 = depth_fold_weights(kernel.astype(dtype), d)   # [3,3,D*Cin,D*Cout]
     wall = w2.transpose(2, 0, 1, 3).reshape(d * cin, 9 * d * cout)
     z = jnp.einsum("bhwc,co->bhwo", x2, wall)
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((b, h, w, d * cout), jnp.float32)
+    out = _tap_slice_add(z, h, w, d * cout).reshape(b, h, w, d, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+
+def _depth_composed_w3(kernel: jnp.ndarray, d_hi: int,
+                       up_matrix=None) -> jnp.ndarray:
+    """Depth-folded conv weights with an optional depth-resize composed
+    in (fp32): ``[3(kh), 3(kw), d_lo*cin, d_hi*cout]``.
+
+    wall'[(j,c),col] = sum_d U[d,j] w2[(d,c),col] — the resize is linear
+    in the depth lanes, so it folds into the banded tap matrix,
+    including the clamped interpolation border rows (ordinary rows of
+    the dense matrix)."""
+    cin, cout = kernel.shape[-2:]
+    w2 = depth_fold_weights(kernel.astype(jnp.float32), d_hi)
+    w3 = w2.reshape(3, 3, d_hi, cin, d_hi * cout)
+    if up_matrix is not None:
+        w3 = jnp.einsum("dj,abdco->abjco", up_matrix.astype(jnp.float32), w3)
+    d_lo = w3.shape[2]
+    return w3.reshape(3, 3, d_lo * cin, d_hi * cout)
+
+
+def _tap_slice_add(z: jnp.ndarray, h: int, w: int, block: int,
+                   pad_mode: str = "constant") -> jnp.ndarray:
+    """Accumulate the 9 shifted (H, W) taps of a lane-blocked tap tensor
+    ``z [B, H, W, 9*block]`` in fp32: one spatial pad, nine static
+    slice-adds (lanes carry the depth/parity/cout structure)."""
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+    out = jnp.zeros((z.shape[0], h, w, block), jnp.float32)
     idx = 0
     for ih in range(3):
         for iw in range(3):
-            tap = zp[:, ih:ih + h, iw:iw + w,
-                     idx * d * cout:(idx + 1) * d * cout]
-            out = out + tap.astype(jnp.float32)
+            out = out + zp[:, ih:ih + h, iw:iw + w,
+                           idx * block:(idx + 1) * block].astype(jnp.float32)
             idx += 1
-    out = out.reshape(b, h, w, d, cout)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
     return out
 
 
@@ -150,24 +177,11 @@ def conv3d_depth_lanes_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
     if scale is not None:
         y = y * scale + shift
     x2 = y.astype(dtype).reshape(b, h, w, d_lo * cin)
-    # Compose in fp32, cast once: wall'[(j,c),col] = sum_d U[d,j] w2[(d,c),col].
-    w2 = depth_fold_weights(kernel.astype(jnp.float32), d_hi)
-    w3 = w2.reshape(3, 3, d_hi, cin, d_hi * cout)
-    w3 = jnp.einsum("dj,abdco->abjco", up_matrix.astype(jnp.float32), w3)
-    wall = (w3.reshape(3, 3, d_lo * cin, d_hi * cout)
-            .transpose(2, 0, 1, 3).reshape(d_lo * cin, 9 * d_hi * cout)
-            .astype(dtype))
+    w3 = _depth_composed_w3(kernel, d_hi, up_matrix)
+    wall = (w3.transpose(2, 0, 1, 3)
+            .reshape(d_lo * cin, 9 * d_hi * cout).astype(dtype))
     z = jnp.einsum("bhwc,co->bhwo", x2, wall)
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((b, h, w, d_hi * cout), jnp.float32)
-    idx = 0
-    for ih in range(3):
-        for iw in range(3):
-            tap = zp[:, ih:ih + h, iw:iw + w,
-                     idx * d_hi * cout:(idx + 1) * d_hi * cout]
-            out = out + tap.astype(jnp.float32)
-            idx += 1
-    out = out.reshape(b, h, w, d_hi, cout)
+    out = _tap_slice_add(z, h, w, d_hi * cout).reshape(b, h, w, d_hi, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -183,21 +197,13 @@ def conv3d_depth_lanes_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
 # conv taps kh in {-1,0,1} at high resolution, each output parity p is a
 # 3-tap stencil over low rows: _PARITY_A[p, t, kh] is the weight of
 # low[j+t] inside high[2j+p+kh].
-_PARITY_A = None
-
-
-def _parity_stencil():
-    global _PARITY_A
-    if _PARITY_A is None:
-        import numpy as np
-        a = np.zeros((2, 3, 3), np.float32)      # [parity, tap t, conv kh]
-        # p=0: high rows 2j-1 (0.75 low[j-1] + 0.25 low[j]),
-        #      2j (0.25 low[j-1] + 0.75 low[j]), 2j+1 (0.75 low[j] + 0.25 low[j+1])
-        a[0] = [[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]]
-        # p=1: high rows 2j, 2j+1, 2j+2 (0.25 low[j] + 0.75 low[j+1])
-        a[1] = [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]]
-        _PARITY_A = a
-    return _PARITY_A
+# p=0: high rows 2j-1 (0.75 low[j-1] + 0.25 low[j]),
+#      2j (0.25 low[j-1] + 0.75 low[j]), 2j+1 (0.75 low[j] + 0.25 low[j+1])
+# p=1: high rows 2j, 2j+1, 2j+2 (0.25 low[j] + 0.75 low[j+1])
+_PARITY_A = np.asarray(
+    [[[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]],
+     [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]]],
+    dtype=np.float32)                           # [parity, tap t, conv kh]
 
 
 def conv3d_parity_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -225,7 +231,6 @@ def conv3d_parity_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
     The depth axis composes densely via ``up_matrix`` as in
     ``conv3d_depth_lanes_upsampled``.
     """
-    import numpy as np
     b, h, w, d_lo, cin = x.shape
     cout = kernel.shape[-1]
     if d_hi is None:
@@ -236,26 +241,16 @@ def conv3d_parity_upsampled(x: jnp.ndarray, kernel: jnp.ndarray,
         y = y * scale + shift
     x2 = y.astype(dtype).reshape(b, h, w, d_lo * cin)
     # Depth composition (fp32): w3 [3(kh), 3(kw), d_lo*cin, d_hi*cout].
-    w2 = depth_fold_weights(kernel.astype(jnp.float32), d_hi)
-    w3 = w2.reshape(3, 3, d_hi, cin, m)
-    if up_matrix is not None:
-        w3 = jnp.einsum("dj,abdco->abjco", up_matrix.astype(jnp.float32), w3)
-    w3 = w3.reshape(3, 3, d_lo * cin, m)
-    a = jnp.asarray(_parity_stencil())
+    w3 = _depth_composed_w3(kernel, d_hi, up_matrix)
+    a = jnp.asarray(_PARITY_A)
     # Parity composition: [t_h, t_w, p_h, p_w, c, m] -> lane matrix with
     # tap-major lanes so the slice-add loop consumes contiguous blocks.
     wp = jnp.einsum("ptk,qul,klcm->tupqcm", a, a, w3)
     wall = (wp.transpose(4, 0, 1, 2, 3, 5)
             .reshape(d_lo * cin, 9 * 4 * m).astype(dtype))
     z = jnp.einsum("bhwc,co->bhwo", x2, wall)
-    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    out = jnp.zeros((b, h, w, 4 * m), jnp.float32)
-    idx = 0
-    for ih in range(3):
-        for iw in range(3):
-            tap = zp[:, ih:ih + h, iw:iw + w, idx * 4 * m:(idx + 1) * 4 * m]
-            out = out + tap.astype(jnp.float32)
-            idx += 1
+    # EDGE padding: the stencil's clamped-interp borders (see _PARITY_A).
+    out = _tap_slice_add(z, h, w, 4 * m, pad_mode="edge")
     out = out.reshape(b, h, w, 2, 2, m)
 
     # --- border corrections (conv zero-pad at high-res rows 0 / 2H-1) ---

@@ -278,7 +278,13 @@ class BucketedInference:
         self.num_classes = num_classes
         self.mesh = mesh
         self._runs = {}
-        self._waccs = {}
+        # Blend-weight volumes are keyed per distinct (bucket, dims) —
+        # unlike the O(#buckets) program cache this can grow with every
+        # distinct volume shape, and each entry is a bucket-sized fp32
+        # device array, so it is LRU-bounded.
+        from collections import OrderedDict
+        self._waccs = OrderedDict()
+        self._waccs_max = 16
 
     @property
     def compiled_programs(self) -> int:
@@ -300,9 +306,13 @@ class BucketedInference:
         vol = np.pad(np.asarray(cropped), pads)
         starts_p, vvec = pad_starts(starts, self.chunk, valid)
         wkey = (bucket, dims)
-        if wkey not in self._waccs:
+        if wkey in self._waccs:
+            self._waccs.move_to_end(wkey)
+        else:
             self._waccs[wkey] = jnp.asarray(gaussian_weight_acc(
                 starts_p, vvec, self.window, bucket))
+            while len(self._waccs) > self._waccs_max:
+                self._waccs.popitem(last=False)
         probs = self._runs[key](jnp.asarray(vol), jnp.asarray(starts_p),
                                 jnp.asarray(vvec), self._waccs[wkey])
         return probs[:dims[0], :dims[1], :dims[2]]

@@ -311,6 +311,57 @@ def test_fused_block_grad_via_reference():
     assert float(jnp.abs(g[1]).sum()) > 0  # grads reach the prompt tokens
 
 
+def test_fused_block_masked_grad_matches_reference():
+    # Backward through the MASKED (labels) path: dropout-free training
+    # with shifted windows differentiates through the int32 labels
+    # residual (float0 cotangent) and _block_reference's equality mask.
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
+        _block_reference, fused_swin_block)
+    b, p_, m, i, h, dh = 1, 2, 8, 2, 2, 4
+    c = h * dh
+    n = m + i
+    keys = jax.random.split(jax.random.PRNGKey(11), 16)
+    x = _rand(keys[0], (b, p_, m, c))
+    tokens = _rand(keys[1], (i, c))
+    params = {k: 0.3 * _rand(kk, (c, c)) if k.startswith("w") else
+              0.1 * _rand(kk, (c,))
+              for k, kk in zip(("ln1_scale", "ln1_bias", "wq", "wk", "wv",
+                                "wproj", "bproj", "ln2_scale", "ln2_bias",
+                                "wmlp", "bmlp"), keys[2:13])}
+    bias = _rand(keys[13], (1, 1, h, m, n))
+    labels = jnp.asarray(np.concatenate(
+        [np.asarray(jax.random.randint(keys[14], (p_, m), 0, 2), np.int32),
+         np.full((p_, i), -1, np.int32)], axis=-1))
+    scale = dh ** -0.5
+
+    # LINEAR loss: the cotangent is a constant, so the kernel's
+    # custom_vjp (which differentiates _block_reference at the same
+    # residuals) must match the reference gradient exactly — a
+    # quadratic loss would leak the forward's bf16 rounding into the
+    # cotangent and mask label-handling regressions behind a loose
+    # tolerance.
+    cot = _rand(keys[15], (b, p_, m, c))
+
+    def loss_kernel(x_, t_):
+        out = fused_swin_block(x_, t_, params, bias, labels, scale, h,
+                               interpret=True)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def loss_ref(x_, t_):
+        out = _block_reference(x_.reshape(b * p_, m, c), t_, params,
+                               bias.reshape(h, m, n),
+                               jnp.tile(labels, (b, 1)), scale, h)
+        return jnp.sum(out.astype(jnp.float32)
+                       * cot.reshape(b * p_, m, c))
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(x, tokens)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, tokens)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_block_kernel_no_tokens():
     from medical_image_segmentation_with_visual_prompts_tpu.ops.fused_block import (
         _block_reference, fused_swin_block)
