@@ -59,7 +59,10 @@ def main():
         window_starts)
 
     conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE,
-                          pad_mode=PAD_MODE)
+                          pad_mode=PAD_MODE,
+                          # A/B knob for the parity (subpixel) seg head.
+                          fold_head_hw=os.environ.get(
+                              "BENCH_FOLD_HEAD_HW", "1") not in ("0", "false"))
     model = SwinUnetR(conf)
     window = conf.attn_window_size  # attention window; roi is below
     roi = (128, 128, 8)
