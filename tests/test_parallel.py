@@ -300,6 +300,28 @@ def test_precomputed_weight_acc_matches_device_stitch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_wacc_cache_is_lru_bounded():
+    """The blend-weight cache must not grow past its bound over a
+    heterogeneous shape stream (each entry pins a bucket-sized fp32
+    device array)."""
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+        BucketedInference)
+    roi = (8, 8, 4)
+
+    def apply_fn(batch):
+        return jnp.concatenate([batch, -batch], axis=-1)
+
+    runner = BucketedInference(apply_fn, roi, chunk=4, num_classes=2)
+    runner._waccs_max = 3
+    rng = np.random.default_rng(0)
+    shapes = [(16 + 4 * i, 16, 8) for i in range(5)]
+    for shape in shapes:
+        runner(jnp.asarray(rng.normal(size=(*shape, 1)).astype(np.float32)))
+    assert len(runner._waccs) <= 3
+    # Most-recent keys survive.
+    assert ((32, 16, 8), shapes[-1]) in runner._waccs
+
+
 def test_pad_starts_validity_vector():
     from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
         bucketed_starts)
