@@ -30,11 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: full-model compiles through the remote
-# TPU compile service are slow; cache binaries across bench runs.
-jax.config.update("jax_compilation_cache_dir",
-                  str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache + JAX_PLATFORMS honoring (the TPU plugin
+# overrides the env var unless re-asserted through jax.config).
+from medical_image_segmentation_with_visual_prompts_tpu.utils.backend import \
+    configure_backend
+
+configure_backend()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 EST_A100_VOLUMES_PER_SEC = 2.0
@@ -50,7 +51,10 @@ PAD_MODE = os.environ.get("BENCH_PAD_MODE", "aligned")
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
-def main():
+def _build_run(attn_impl, fold_head_hw):
+    """Build the model + jitted sliding-window closure and run the
+    compile warmup.  Raises on any build/compile failure so the ladder
+    in main() can fall back to a safer configuration."""
     from __graft_entry__ import _flagship_conf
     from medical_image_segmentation_with_visual_prompts_tpu.models import (
         SwinUnetR, prefill_bias_cache)
@@ -58,13 +62,9 @@ def main():
         gaussian_weight_acc, make_sliding_window_fn, pad_starts,
         window_starts)
 
-    conf = _flagship_conf(attn_impl=ATTN_IMPL, compute_dtype=COMPUTE_DTYPE,
-                          pad_mode=PAD_MODE,
-                          # A/B knob for the parity (subpixel) seg head.
-                          fold_head_hw=os.environ.get(
-                              "BENCH_FOLD_HEAD_HW", "1") not in ("0", "false"))
+    conf = _flagship_conf(attn_impl=attn_impl, compute_dtype=COMPUTE_DTYPE,
+                          pad_mode=PAD_MODE, fold_head_hw=fold_head_hw)
     model = SwinUnetR(conf)
-    window = conf.attn_window_size  # attention window; roi is below
     roi = (128, 128, 8)
     x0 = jnp.zeros((CHUNK, *roi, 1), jnp.float32)
     variables = model.init(
@@ -91,13 +91,59 @@ def main():
     wacc = jax.device_put(jnp.asarray(gaussian_weight_acc(
         starts, n_valid, roi, vol_np.shape[:3])))
 
-    # Warmup (compile).
+    # Warmup (compile) — part of the attempt so failures trigger fallback.
     out = run(volume, starts_d, n_valid, wacc)
     out.block_until_ready()
+    return conf, roi, x0, variables, starts, \
+        (lambda: run(volume, starts_d, n_valid, wacc))
+
+
+def main():
+    import sys
+
+    # Fallback ladder: each tier is strictly more conservative.  The
+    # driver needs ONE JSON line no matter what a backend/Mosaic update
+    # does to the newest kernels, so a failed compile falls through to
+    # the next tier instead of crashing the bench.  BENCH_TIER=n forces
+    # a tier for A/B runs.
+    fold_default = os.environ.get(
+        "BENCH_FOLD_HEAD_HW", "1") not in ("0", "false")
+    tiers = [
+        # (name, attn_impl, fold_head_hw, extra env)
+        ("full", ATTN_IMPL, fold_default, {}),
+        ("no-fold-head", ATTN_IMPL, False, {}),
+        ("no-fused-block", ATTN_IMPL, False, {"MIVP_NO_FUSED_BLOCK": "1"}),
+        ("xla", "xla", False, {"MIVP_NO_FUSED_BLOCK": "1"}),
+    ]
+    forced = os.environ.get("BENCH_TIER")
+    if forced is not None:
+        tiers = [tiers[int(forced)]]
+
+    built = None
+    for name, impl, fold_hw, env in tiers:
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            built = _build_run(impl, fold_hw)
+            tier_name = name
+            break
+        except Exception as e:
+            print(f"bench tier '{name}' failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if built is None:
+        # Even the XLA tier failed (no device / OOM): report zero rather
+        # than crash, so the driver records a datapoint.
+        print(json.dumps({
+            "metric": "sliding_window_volumes_per_sec_per_chip",
+            "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0}))
+        return
+    conf, roi, x0, variables, starts, run_once = built
+    if tier_name != "full":
+        print(f"bench ran at FALLBACK tier '{tier_name}'", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        out = run(volume, starts_d, n_valid, wacc)
+        out = run_once()
     out.block_until_ready()
     dt = time.perf_counter() - t0
     vps = REPEATS / dt
@@ -106,8 +152,8 @@ def main():
     # reference-equivalent forward (XLA attention path, op-for-op the
     # reference computation), independent of kernel padding/folding.
     # Details go to stderr; stdout stays the single JSON line.
-    import sys
     try:
+        from __graft_entry__ import _flagship_conf
         from medical_image_segmentation_with_visual_prompts_tpu.models \
             import SwinUnetR as _S
         from medical_image_segmentation_with_visual_prompts_tpu.utils.flops \
@@ -141,6 +187,7 @@ def main():
         tflops = flops_volume * vps / 1e12
         print(json.dumps({
             "detail": "mfu",
+            "tier": tier_name,
             "model_flops_per_volume": flops_volume,
             "achieved_tflops": round(tflops, 2),
             "peak_tflops": peak,

@@ -40,6 +40,16 @@ from .window_attention import WindowAttention
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _fused_block_disabled() -> bool:
+    """Escape hatch: ``MIVP_NO_FUSED_BLOCK=1`` routes attention through
+    the standalone packed/per-head kernels (ops/window_attention_pallas)
+    instead of the fused Swin-block kernel — a coarser but independently
+    proven path, used by bench.py's fallback ladder if a fused-kernel
+    compile ever fails on a new backend version."""
+    import os
+    return os.environ.get("MIVP_NO_FUSED_BLOCK", "0") not in ("0", "")
+
+
 def fold_geometry(dims, window_size, fold_axes, paddings):
     """(content window ``wc``, effective paddings) for pad-folding: folded
     axes use the feature extent as the window and are never materially
@@ -317,6 +327,7 @@ class SwinTransformerBlock(nn.Module):
         from .window_attention import _use_pallas
         use_fused_block = (
             not self.is_initializing()
+            and not _fused_block_disabled()
             and _use_pallas(self.attn_impl, True, 0.0))
         fold_axes = tuple(i for i, dim in enumerate((h, w, d))
                           if dim < self.window_size[i])
@@ -509,6 +520,8 @@ class ConsecutiveSwinBlocks(nn.Module):
         granularity (see __call__)."""
         from .window_attention import _use_pallas
         if self.is_initializing():
+            return False
+        if _fused_block_disabled():
             return False
         if not _use_pallas(self.attn_impl, True, 0.0):
             return False
