@@ -119,17 +119,29 @@ def main():
     if forced is not None:
         tiers = [tiers[int(forced)]]
 
+    # Tier env knobs are read at TRACE time (inside _build_run), so the
+    # pre-ladder environment can be restored as soon as the winning tier
+    # has compiled — and must be, for in-process callers (tests).
+    knob_keys = {k for *_, env in tiers for k in env}
+    saved_env = {k: os.environ.get(k) for k in knob_keys}
     built = None
-    for name, impl, fold_hw, env in tiers:
-        for k, v in env.items():
-            os.environ[k] = v
-        try:
-            built = _build_run(impl, fold_hw)
-            tier_name = name
-            break
-        except Exception as e:
-            print(f"bench tier '{name}' failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+    try:
+        for name, impl, fold_hw, env in tiers:
+            for k, v in env.items():
+                os.environ[k] = v
+            try:
+                built = _build_run(impl, fold_hw)
+                tier_name = name
+                break
+            except Exception as e:
+                print(f"bench tier '{name}' failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     if built is None:
         # Even the XLA tier failed (no device / OOM): report zero rather
         # than crash, so the driver records a datapoint.

@@ -60,6 +60,8 @@ def test_ladder_falls_through_to_working_tier(monkeypatch, capsys):
     # Tier 2 ran with the fused block disabled and the fold head off.
     assert calls[2][1] is False
     assert calls[2][2] == "1"
+    # The ladder's env mutations must not leak into the process.
+    assert "MIVP_NO_FUSED_BLOCK" not in os.environ
 
 
 def test_ladder_reports_zero_when_everything_fails(monkeypatch, capsys):

@@ -1,0 +1,38 @@
+#!/bin/bash
+# One-shot TPU measurement session: run the headline bench over the A/B
+# matrix of round-2 changes that were committed while the TPU tunnel was
+# down, plus a chunk-size sweep.  Same-session numbers are directly
+# comparable (cross-session drift is ~±5%, docs/PERF.md).
+#
+# Usage: bash tools/tpu_ab.sh [out.log]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_ab.log}
+: > "$OUT"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($*)" | tee -a "$OUT"
+  local t0=$(date +%s)
+  env "$@" timeout 3000 python bench.py >/tmp/ab_line.json 2>/tmp/ab_err.log
+  local rc=$?
+  local t1=$(date +%s)
+  echo "rc=$rc elapsed=$((t1-t0))s" | tee -a "$OUT"
+  cat /tmp/ab_line.json | tee -a "$OUT"
+  grep -h '"detail"' /tmp/ab_err.log | tail -1 | tee -a "$OUT"
+  grep -hE "tier .* failed|FALLBACK" /tmp/ab_err.log | tee -a "$OUT"
+}
+
+# 1. Full configuration (everything on) — the round-end driver setting.
+run full
+# 2. Isolate the parity (subpixel) H/W head fold.
+run no-fold-head BENCH_FOLD_HEAD_HW=0
+# 3. Isolate the in-kernel label masks + fused block (tier 2 = packed kernels).
+run no-fused-block BENCH_TIER=2
+# 4. Chunk-size sweep at the full configuration.
+for c in 8 16 20 40; do
+  run "chunk$c" BENCH_CHUNK=$c
+done
+
+echo "=== summary" | tee -a "$OUT"
+grep -h '"value"' "$OUT" || true
