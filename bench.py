@@ -98,8 +98,46 @@ def _build_run(attn_impl, fold_head_hw):
         (lambda: run(volume, starts_d, n_valid, wacc))
 
 
+def _device_preflight() -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout.
+
+    When the remote TPU tunnel is wedged, ``jax.devices()`` hangs
+    indefinitely rather than raising — an in-process failure mode the
+    tier ladder cannot catch.  A hung probe is killed and the bench
+    reports a zero datapoint instead of hanging the driver.
+    """
+    import subprocess
+    import sys
+    timeout_s = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "300"))
+    env = dict(os.environ)
+    env.pop("BENCH_PREFLIGHT_TIMEOUT", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from medical_image_segmentation_with_visual_prompts_tpu.utils"
+             ".backend import configure_backend\n"
+             "configure_backend()\n"
+             "import jax; print(jax.default_backend())"],
+            timeout=timeout_s, capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode != 0:
+            print(f"device preflight failed: {r.stderr[-500:]}",
+                  file=sys.stderr)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"device preflight HUNG (> {timeout_s}s): backend tunnel "
+              "unresponsive", file=sys.stderr)
+        return False
+
+
 def main():
     import sys
+
+    if not _device_preflight():
+        print(json.dumps({
+            "metric": "sliding_window_volumes_per_sec_per_chip",
+            "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0}))
+        return
 
     # Fallback ladder: each tier is strictly more conservative.  The
     # driver needs ONE JSON line no matter what a backend/Mosaic update

@@ -52,6 +52,7 @@ def test_ladder_falls_through_to_working_tier(monkeypatch, capsys):
         return _fake_built()
 
     monkeypatch.setattr(bench, "_build_run", fake_build)
+    monkeypatch.setattr(bench, "_device_preflight", lambda: True)
     monkeypatch.setattr(bench, "REPEATS", 1)
     monkeypatch.delenv("MIVP_NO_FUSED_BLOCK", raising=False)
     rec = _run_main(capsys)
@@ -69,9 +70,28 @@ def test_ladder_reports_zero_when_everything_fails(monkeypatch, capsys):
         raise RuntimeError("no device")
 
     monkeypatch.setattr(bench, "_build_run", fake_build)
+    monkeypatch.setattr(bench, "_device_preflight", lambda: True)
     rec = _run_main(capsys)
     assert rec["value"] == 0.0
     assert rec["vs_baseline"] == 0.0
+
+
+def test_hung_backend_preflight_reports_zero(monkeypatch, capsys):
+    """A wedged TPU tunnel hangs jax.devices() instead of raising; the
+    subprocess preflight must kill it and emit the zero datapoint."""
+    def fake_build(attn_impl, fold_head_hw):  # must never be reached
+        raise AssertionError("ladder ran despite failed preflight")
+
+    monkeypatch.setattr(bench, "_build_run", fake_build)
+    # A timeout far below interpreter startup makes the probe "hang".
+    monkeypatch.setenv("BENCH_PREFLIGHT_TIMEOUT", "0.01")
+    rec = _run_main(capsys)
+    assert rec["value"] == 0.0
+
+
+def test_preflight_passes_on_cpu(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._device_preflight() is True
 
 
 def _block(impl, c=8, heads=2, window=(4, 4, 4)):
