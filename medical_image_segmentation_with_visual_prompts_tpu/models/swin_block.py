@@ -180,7 +180,7 @@ class SwinTransformerBlock(nn.Module):
     def folded_on_windows(self, x_win: jnp.ndarray,
                           p: Optional[jnp.ndarray], dims, window_size,
                           shift_size, paddings, fold_axes,
-                          deterministic=True) -> jnp.ndarray:
+                          deterministic=True, shift_geom=None) -> jnp.ndarray:
         """Pad-folded fused kernel on already-partitioned ``wc`` windows
         (bias/mask/virtual-column assembly; no spatial-layout ops)."""
         from ..ops.fused_block import (FOLD_COUNT, FOLD_KEY, fold_width,
@@ -261,7 +261,8 @@ class SwinTransformerBlock(nn.Module):
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias, labels, head_dim ** -0.5, self.num_heads,
-            fold_mode=fold_mode, **self._drop_kw(deterministic))
+            fold_mode=fold_mode, shift_geom=shift_geom,
+            **self._drop_kw(deterministic))
 
     def _drop_kw(self, deterministic: bool) -> dict:
         """Kernel dropout kwargs (counter-based seeds) when active."""
@@ -274,15 +275,16 @@ class SwinTransformerBlock(nn.Module):
 
     def fused_on_windows(self, x_win: jnp.ndarray, p: Optional[jnp.ndarray],
                          shape_x: Sequence[int],
-                         deterministic: bool = True) -> jnp.ndarray:
+                         deterministic: bool = True,
+                         shift_geom=None) -> jnp.ndarray:
         """Run the fused block kernel on already-partitioned windows.
 
         Used by the pair-fused path (ConsecutiveSwinBlocks): the caller
         keeps the tensor in window-major ``[B, P, M, C]`` layout across
-        the (no-shift, shift) pair, applying the cyclic shift with
-        :func:`..ops.windows.window_shift` instead of
-        reverse→roll→partition.  Only valid when ``shape_x`` needs no
-        padding (every axis a window multiple).
+        the (no-shift, shift) pair; the shifted block's cyclic roll is
+        fused into the kernel via ``shift_geom`` (with a trace-level
+        ``window_shift`` fallback inside fused_swin_block).  Only valid
+        when ``shape_x`` needs no padding (every axis a window multiple).
         """
         window_size = tuple(self.window_size)
         shift_size = self.get_shift_size(tuple(shape_x))
@@ -306,7 +308,7 @@ class SwinTransformerBlock(nn.Module):
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias_rows, labels, head_dim ** -0.5, self.num_heads,
-            **self._drop_kw(deterministic))
+            shift_geom=shift_geom, **self._drop_kw(deterministic))
 
     def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                           deterministic: bool) -> jnp.ndarray:
@@ -536,11 +538,13 @@ class ConsecutiveSwinBlocks(nn.Module):
     def _pair_forward(self, x: jnp.ndarray, p0, p1,
                       deterministic: bool) -> jnp.ndarray:
         """Pair fusion: one partition + one reverse for BOTH blocks; the
-        shifted block's cyclic roll runs in window-major layout
-        (ops/windows.py::window_shift), eliminating two 8-D transposes
-        and two spatial rolls per pair.  Pad-folded stages participate
-        with their content window ``wc``."""
-        from ..ops.windows import window_shift
+        shifted block's cyclic roll is FUSED INTO the second block's
+        kernel (index_map window permutation + in-VMEM token rolls —
+        ops/fused_block.py), eliminating two 8-D transposes, two spatial
+        rolls and the shifted-copy HBM round trip per pair; geometries
+        the kernel plan rejects fall back to the trace-level
+        window-major ``window_shift`` inside fused_swin_block.
+        Pad-folded stages participate with their content window ``wc``."""
         shape_x = tuple(x.shape[1:4])
         w = tuple(self.window_size)
         fold_axes = tuple(i for i, d in enumerate(shape_x) if d < w[i])
@@ -548,22 +552,20 @@ class ConsecutiveSwinBlocks(nn.Module):
         wc, _ = fold_geometry(shape_x, w, fold_axes, paddings)
         grid = tuple(d // ws for d, ws in zip(shape_x, wc))
 
-        def run_block(blk, x_win, pp, shift_size):
+        def run_block(blk, x_win, pp, shift_size, shift_geom=None):
             if fold_axes:
                 return blk.folded_on_windows(
                     x_win, pp, shape_x, w, shift_size, paddings,
-                    fold_axes, deterministic)
-            return blk.fused_on_windows(x_win, pp, shape_x, deterministic)
+                    fold_axes, deterministic, shift_geom=shift_geom)
+            return blk.fused_on_windows(x_win, pp, shape_x, deterministic,
+                                        shift_geom=shift_geom)
 
         x_win = window_partition(x, wc)
         x_win = run_block(self.swin_blocks[0], x_win, p0, (0, 0, 0))
         shift = self.swin_blocks[1].get_shift_size(shape_x)
         shifted = any(s > 0 for s in shift)
-        if shifted:
-            x_win = window_shift(x_win, grid, wc, shift)
-        x_win = run_block(self.swin_blocks[1], x_win, p1, shift)
-        if shifted:
-            x_win = window_shift(x_win, grid, wc, shift, inverse=True)
+        x_win = run_block(self.swin_blocks[1], x_win, p1, shift,
+                          shift_geom=(grid, wc, shift) if shifted else None)
         return window_reverse(x_win, wc, shape_x)
 
     def __call__(self, x: jnp.ndarray, p=(None, None),

@@ -79,6 +79,40 @@ def _ln(x, scale, bias):
     return y * scale + bias
 
 
+def _token_rolls(x, plan, g: int, read: bool):
+    """In-VMEM cyclic token rolls of the fused window shift.
+
+    ``plan = (grid, wc, s0s, q0s)`` from ``windows.kernel_shift_plan``.
+    On read the kernel assembles the SHIFTED window's tokens from the
+    unshifted source block (roll by ``-(q0 + borrow)`` per axis, in
+    that axis's token units); on write it undoes the roll.  The borrow
+    is block-uniform (plan eligibility), computed from the grid step's
+    first shifted-window coordinates.
+    """
+    grid, wc, s0s, q0s = plan
+    p1, p2, p3 = grid
+    fw = (pl.program_id(0) * g) % (p1 * p2 * p3)
+    coords = (fw // (p2 * p3), (fw // p3) % p2, fw % p3)
+    for ax in (0, 1):
+        s0, q0, p = s0s[ax], q0s[ax], grid[ax]
+        if s0 == 0 and q0 == 0:
+            continue
+        if s0:
+            amt = q0 + (coords[ax] >= p - s0).astype(jnp.int32)
+        else:
+            amt = q0  # static
+        tshift = ((-amt if read else amt)) % wc[ax]
+        if ax == 0:
+            # th roll = flat roll on the token axis in (ww*wd) strides.
+            x = pltpu.roll(x, tshift * (wc[1] * wc[2]), 1)
+        else:
+            # tw roll: blocked view [g, wh, ww*wd, c], roll axis 2.
+            x4 = x.reshape(x.shape[0], wc[0], wc[1] * wc[2], x.shape[2])
+            x4 = pltpu.roll(x4, tshift * wc[2], 2)
+            x = x4.reshape(x.shape)
+    return x
+
+
 def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
                   bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
@@ -86,7 +120,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
                   head_block: int, attn_drop: float, proj_drop: float,
-                  fused_kv: bool):
+                  fused_kv: bool, shift_plan=None):
     from .prng import keep_mask
     g, h, i = group, num_heads, n_tokens
     m, c = x_ref.shape[1], x_ref.shape[2]
@@ -101,7 +135,12 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     cw = 2 * c if fused_kv else c
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
-    x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
+    x = x_ref[:]                                          # [g, m, c]
+    if shift_plan is not None:
+        # Fused window shift: the block DMA'd the (index_map-permuted)
+        # source windows; assemble the shifted windows by token roll.
+        x = _token_rolls(x, shift_plan, g, read=True)
+    x = x.astype(jnp.float32)
     # Prompt-token K/V rows are per-batch constants: their LN and Wk/Wv
     # projections are hoisted OUT of the kernel (computed once per layer
     # call in _forward) and DMA'd in pre-projected — the in-kernel k/v
@@ -239,7 +278,12 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     mlp = dot2(l2.astype(jnp.bfloat16).reshape(g * m, c),
                wm_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bm_ref[0].astype(jnp.float32)[None, None, :]
-    o_ref[:] = (x1 + mlp).astype(o_ref.dtype)
+    out = (x1 + mlp).astype(o_ref.dtype)
+    if shift_plan is not None:
+        # Undo the read roll so the (same-permuted) output write lands
+        # the block back in unshifted window-major order.
+        out = _token_rolls(out, shift_plan, g, read=False)
+    o_ref[:] = out
 
 
 def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
@@ -332,7 +376,8 @@ _SCOPED_VMEM_SAFE = 14 * 1024 * 1024
 
 def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
                    num_heads: int, with_mask: bool,
-                   with_dropout: bool = False) -> int:
+                   with_dropout: bool = False,
+                   with_shift: bool = False) -> int:
     """Estimated peak scoped-VMEM bytes of one fused-block grid step.
 
     Calibrated against measured Mosaic stack OOMs: predicts the
@@ -360,12 +405,15 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     est += 2 * g * n * c * 4            # yv fp32 + bf16 cast
     est += 3 * g * (m + n) * cw * 2     # q/k/v bf16 (token concat incl.)
     est += g * hb * m * cw * 4          # o_full
+    if with_shift:
+        est += 2 * g * m * c * 4        # in-kernel token-roll copies
     return est
 
 
 def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                with_mask: bool, c: int, fused_kv: bool,
-               with_dropout: bool = False) -> tuple:
+               with_dropout: bool = False,
+               with_shift: bool = False) -> tuple:
     """Joint (window group g, head block hb) pick for the fused block.
 
     Prefers the LARGEST g that fits :func:`_vmem_estimate` under the
@@ -387,7 +435,7 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
             if num_heads % hb:
                 continue
             if _vmem_estimate(g, hb, m, n, c, cw, num_heads, with_mask,
-                              with_dropout) <= _SCOPED_VMEM_SAFE:
+                              with_dropout, with_shift) <= _SCOPED_VMEM_SAFE:
                 if forced_hb and num_heads % forced_hb == 0:
                     hb = forced_hb
                 return g, hb
@@ -398,7 +446,8 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
 
 def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
-             interpret=False):
+             interpret=False, shift_geom=None):
+    import os as _os
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
     n = m + n_fold + i
@@ -411,7 +460,31 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
-                       fused_kv, with_dropout=attn_drop > 0.0)
+                       fused_kv, with_dropout=attn_drop > 0.0,
+                       with_shift=shift_geom is not None)
+    # Fused window shift (``shift_geom = (grid, wc, shift)``): the caller
+    # passes UNSHIFTED window-major x; the kernel absorbs the cyclic
+    # shift (index_map window permutation + in-VMEM token rolls) when
+    # the geometry allows, else the shift materializes here at trace
+    # level (exactly the old caller-side ``window_shift`` behavior).
+    plan = None
+    unshift = None
+    if shift_geom is not None:
+        from .windows import kernel_shift_plan, window_shift
+        grid_s, wc_s, sh_s = shift_geom
+        if _os.environ.get("MIVP_NO_KERNEL_SHIFT", "0") in ("0", ""):
+            plan = kernel_shift_plan(grid_s, wc_s, sh_s, g)
+        if plan is None:
+            P_s = int(np.prod(grid_s))
+            bb = bp // P_s
+
+            def _shift(t, inverse):
+                t4 = t.reshape(bb, P_s, m, c)
+                t4 = window_shift(t4, grid_s, wc_s, sh_s, inverse=inverse)
+                return t4.reshape(bp, m, c)
+
+            x = _shift(x, False)
+            unshift = lambda t: _shift(t, True)
     if fused_kv:
         colmask_np = np.zeros((2, num_heads, cw), np.float32)
         for hh in range(num_heads):
@@ -425,8 +498,27 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
-        proj_drop=proj_drop, fused_kv=fused_kv)
-    x_spec = pl.BlockSpec((g, m, c), lambda idx: (idx, 0, 0),
+        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
+    if plan is not None and any(plan[2]):
+        # Window-permuted blocks: grid step idx (shifted windows
+        # [idx*g, idx*g+g)) reads/writes the g-aligned source block
+        # holding windows (o + s0) mod p — contiguous by plan
+        # eligibility.  Same map on input and output: the kernel's
+        # inverse write-roll lands the block back unshifted.
+        (p1, p2, p3), _, (s01, s02, s03), _ = plan
+        P_s = p1 * p2 * p3
+
+        def x_index(idx):
+            w = (idx * g) % P_s
+            img = (idx * g) // P_s
+            o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
+            s1 = (o1 + s01) % p1
+            s2 = (o2 + s02) % p2
+            s3 = (o3 + s03) % p3
+            return ((img * P_s + (s1 * p2 + s2) * p3 + s3) // g, 0, 0)
+    else:
+        x_index = lambda idx: (idx, 0, 0)
+    x_spec = pl.BlockSpec((g, m, c), x_index,
                           memory_space=pltpu.VMEM)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
                                   memory_space=pltpu.VMEM)
@@ -503,7 +595,7 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
                                  memory_space=pltpu.SMEM))
     args.append(jnp.zeros((1, 2), jnp.uint32) if seeds is None
                 else seeds.reshape(1, 2).astype(jnp.uint32))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(bp // g,),
         in_specs=in_specs,
@@ -515,37 +607,62 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _wap._FORCE_INTERPRET,
     )(*args)
+    return unshift(out) if unshift is not None else out
+
+
+def _reference_with_shift(x, tokens, params, bias, labels, scale, num_heads,
+                          fold_mode, n_fold, seeds, attn_drop, proj_drop,
+                          shift_geom):
+    """jnp reference of the kernel semantics INCLUDING the fused window
+    shift: shift (trace-level window_shift), block, inverse shift."""
+    if shift_geom is None:
+        return _block_reference(x, tokens, params, bias, labels, scale,
+                                num_heads, fold_mode, n_fold, seeds,
+                                attn_drop, proj_drop)
+    from .windows import window_shift
+    grid_s, wc_s, sh_s = shift_geom
+    P_s = int(np.prod(grid_s))
+    bp, m, c = x.shape
+    bb = bp // P_s
+    xs = window_shift(x.reshape(bb, P_s, m, c), grid_s, wc_s, sh_s)
+    out = _block_reference(xs.reshape(bp, m, c), tokens, params, bias,
+                           labels, scale, num_heads, fold_mode, n_fold,
+                           seeds, attn_drop, proj_drop)
+    out = window_shift(out.reshape(bb, P_s, m, c), grid_s, wc_s, sh_s,
+                       inverse=True)
+    return out.reshape(bp, m, c)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                  num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                 proj_drop, interpret):
+                 proj_drop, interpret, shift_geom):
     params = dict(zip(_PARAM_KEYS, param_tuple))
     return _forward(x, tokens if has_tokens else None, params, bias, labels,
                     scale, num_heads, fold_mode, n_fold, seeds, attn_drop,
-                    proj_drop, interpret)
+                    proj_drop, interpret, shift_geom)
 
 
 def _fused_block_fwd(x, tokens, param_tuple, bias, labels, seeds, scale,
                      num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                     proj_drop, interpret):
+                     proj_drop, interpret, shift_geom):
     out = _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                        num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                       proj_drop, interpret)
+                       proj_drop, interpret, shift_geom)
     return out, (x, tokens, param_tuple, bias, labels, seeds)
 
 
 def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
-                     attn_drop, proj_drop, interpret, res, g):
+                     attn_drop, proj_drop, interpret, shift_geom, res, g):
     x, tokens, param_tuple, bias, labels, seeds = res
 
     def ref(x_, tokens_, param_tuple_, bias_, labels_, seeds_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))
-        return _block_reference(x_, tokens_ if has_tokens else None, params,
-                                bias_, labels_, scale, num_heads, fold_mode,
-                                n_fold, seeds_, attn_drop, proj_drop)
+        return _reference_with_shift(
+            x_, tokens_ if has_tokens else None, params, bias_, labels_,
+            scale, num_heads, fold_mode, n_fold, seeds_, attn_drop,
+            proj_drop, shift_geom)
 
     _, vjp = jax.vjp(ref, x, tokens, param_tuple, bias, labels, seeds)
     return vjp(g)
@@ -566,7 +683,8 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
                      num_heads: int, fold_mode: int = FOLD_NONE,
                      dropout_seeds: Optional[jnp.ndarray] = None,
                      attn_drop: float = 0.0, proj_drop: float = 0.0,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     shift_geom=None) -> jnp.ndarray:
     """Run the full block on windowed content tokens.
 
     Args:
@@ -582,6 +700,13 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
         attention mask is label EQUALITY, built inside the kernel
         (no [P, M, N] mask tensor ever reaches HBM).
       fold_mode: FOLD_NONE / FOLD_KEY (unshifted) / FOLD_COUNT (shifted).
+      shift_geom: ``(grid, wc, shift)`` static tuples to FUSE the cyclic
+        window shift into the kernel: ``x_win`` is then UNSHIFTED
+        window-major input and the result is returned unshifted, while
+        bias/labels still describe the SHIFTED windows.  When the
+        (grid, g) geometry is ineligible (ops/windows.py::
+        kernel_shift_plan) — or ``MIVP_NO_KERNEL_SHIFT=1`` — the shift
+        materializes at trace level instead (identical semantics).
 
     Returns: ``[B, P, M, C]`` block output.
     """
@@ -598,7 +723,10 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
     if dropout_seeds is None:
         dropout_seeds = jnp.zeros((2,), jnp.uint32)
         attn_drop = proj_drop = 0.0
+    if shift_geom is not None:
+        shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
     out = _fused_block(xf, tok_arg, param_tuple, bias, lab, dropout_seeds,
                        scale, num_heads, tokens is not None, fold_mode,
-                       n_fold, float(attn_drop), float(proj_drop), interpret)
+                       n_fold, float(attn_drop), float(proj_drop), interpret,
+                       shift_geom)
     return out.reshape(b, p, m, c)

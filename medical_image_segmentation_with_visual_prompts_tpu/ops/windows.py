@@ -160,6 +160,65 @@ def compute_paddings(shape_x: Sequence[int], window_size: Sequence[int],
     return tuple(pads)
 
 
+def kernel_shift_plan(grid: Sequence[int], wc: Sequence[int],
+                      shift: Sequence[int], g: int):
+    """Static plan for fusing the cyclic window shift INTO the fused
+    block kernel, or None when the geometry does not allow it.
+
+    In the dilated factoring ``pos = t * p + w`` (window_partition), a
+    spatial roll by ``-s`` (``s = q0 * p + s0``) decomposes into a
+    window-index permutation ``w → (w + s0) mod p`` plus an in-window
+    token roll by ``-(q0 + borrow)`` where ``borrow = (w + s0 >= p)``.
+    The kernel can absorb both for free — the permutation as input and
+    output ``index_map`` arithmetic, the roll as an in-VMEM
+    ``pltpu.roll`` — PROVIDED each g-window grid block maps to one
+    contiguous g-aligned source block with a block-uniform roll:
+
+    * on the axis a block only partially covers: ``p % g_ax == 0`` and
+      ``s0 % g_ax == 0`` (segment boundaries stay block-aligned);
+    * on axes a block fully covers: ``s0 == 0`` (pure token roll);
+    * depth shifts must be window-internal (``shift[2]`` a multiple of
+      ``grid[2]`` with grid 1 — in practice 0: every flagship stage
+      zeroes the depth shift adaptively); the in-kernel roll views are
+      only built for the H/W token axes.
+
+    Returns ``(grid, wc, s0s, q0s)`` as a hashable nested tuple.
+    """
+    grid = tuple(int(v) for v in grid)
+    wc = tuple(int(v) for v in wc)
+    shift = tuple(int(v) for v in shift)
+    p1, p2, p3 = grid
+    P = p1 * p2 * p3
+    if P % g and g % P:
+        return None
+    s0s = tuple(s % p for s, p in zip(shift, grid))
+    q0s = tuple(s // p for s, p in zip(shift, grid))
+    if shift[2] != 0:
+        return None  # depth roll views not built (never shifted here)
+    # Walk axes from fastest; ``cover`` is how many windows of the block
+    # remain to span on the current and coarser axes.
+    cover = g
+    for ax in (2, 1, 0):
+        p = grid[ax]
+        if cover <= 1:
+            break  # coarser axes are fixed per block: any s0 is fine
+        if cover < p:
+            if p % cover or s0s[ax] % cover:
+                return None
+            cover = 1
+        else:
+            if s0s[ax] != 0:
+                return None
+            if cover % p:
+                return None
+            cover //= p
+    # cover > 1 left means the block spans multiple images: only pure
+    # rolls (no permutation anywhere) keep it image-consistent — which
+    # the loop above already guaranteed (all partially/fully covered
+    # axes hit the s0 == 0 branch when cover >= p).
+    return (grid, wc, s0s, q0s)
+
+
 def window_shift(x_win: jnp.ndarray, grid: Sequence[int],
                  window_size: Sequence[int], shift_size: Sequence[int],
                  inverse: bool = False) -> jnp.ndarray:
