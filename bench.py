@@ -149,13 +149,18 @@ def main():
     tiers = [
         # (name, attn_impl, fold_head_hw, extra env)
         ("full", ATTN_IMPL, fold_default, {}),
+        ("no-pair-kernel", ATTN_IMPL, fold_default,
+         {"MIVP_NO_PAIR_KERNEL": "1"}),
         ("no-kernel-shift", ATTN_IMPL, fold_default,
-         {"MIVP_NO_KERNEL_SHIFT": "1"}),
-        ("no-fold-head", ATTN_IMPL, False, {"MIVP_NO_KERNEL_SHIFT": "1"}),
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
+        ("no-fold-head", ATTN_IMPL, False,
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
         ("no-fused-block", ATTN_IMPL, False,
-         {"MIVP_NO_KERNEL_SHIFT": "1", "MIVP_NO_FUSED_BLOCK": "1"}),
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
+          "MIVP_NO_FUSED_BLOCK": "1"}),
         ("xla", "xla", False,
-         {"MIVP_NO_KERNEL_SHIFT": "1", "MIVP_NO_FUSED_BLOCK": "1"}),
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
+          "MIVP_NO_FUSED_BLOCK": "1"}),
     ]
     forced = os.environ.get("BENCH_TIER")
     if forced is not None:

@@ -177,15 +177,12 @@ class SwinTransformerBlock(nn.Module):
                   pads_eff[4]: x.shape[3] - pads_eff[5], :]
         return x
 
-    def folded_on_windows(self, x_win: jnp.ndarray,
-                          p: Optional[jnp.ndarray], dims, window_size,
-                          shift_size, paddings, fold_axes,
-                          deterministic=True, shift_geom=None) -> jnp.ndarray:
-        """Pad-folded fused kernel on already-partitioned ``wc`` windows
-        (bias/mask/virtual-column assembly; no spatial-layout ops)."""
-        from ..ops.fused_block import (FOLD_COUNT, FOLD_KEY, fold_width,
-                                       fused_swin_block)
-        n_tokens = 0 if p is None else p.shape[1]
+    def folded_assembly(self, dims, window_size, shift_size, paddings,
+                        fold_axes, n_tokens):
+        """Assembled (bias ``[1,1,H,Mc,N]``, labels np|None, fold_mode)
+        for the pad-folded kernel call (virtual fold column, -1e30
+        alignment columns, content-cut label rows)."""
+        from ..ops.fused_block import FOLD_COUNT, FOLD_KEY, fold_width
         # Content-token index set within the full window's (ih, iw, id)
         # row-major ordering.
         keep = []
@@ -255,8 +252,18 @@ class SwinTransformerBlock(nn.Module):
             "-".join(map(str, paddings)),
             "".join(map(str, sorted(fold_axes))), int(shifted), n_tokens))
         bias = self._cached_bias(key, build_bias)
-        bias = bias[None, None]                     # [1, 1, H, Mc, N']
+        return bias[None, None], labels, fold_mode  # [1, 1, H, Mc, N']
 
+    def folded_on_windows(self, x_win: jnp.ndarray,
+                          p: Optional[jnp.ndarray], dims, window_size,
+                          shift_size, paddings, fold_axes,
+                          deterministic=True, shift_geom=None) -> jnp.ndarray:
+        """Pad-folded fused kernel on already-partitioned ``wc`` windows
+        (bias/mask/virtual-column assembly; no spatial-layout ops)."""
+        from ..ops.fused_block import fused_swin_block
+        n_tokens = 0 if p is None else p.shape[1]
+        bias, labels, fold_mode = self.folded_assembly(
+            dims, window_size, shift_size, paddings, fold_axes, n_tokens)
         head_dim = self.hidden_channels // self.num_heads
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
@@ -286,29 +293,34 @@ class SwinTransformerBlock(nn.Module):
         ``window_shift`` fallback inside fused_swin_block).  Only valid
         when ``shape_x`` needs no padding (every axis a window multiple).
         """
-        window_size = tuple(self.window_size)
-        shift_size = self.get_shift_size(tuple(shape_x))
-        n_tokens = 0 if p is None else p.shape[1]
-        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
-                           n_tokens)[:, None]      # [1, 1, heads, N, N]
-        if any(s > 0 for s in shift_size):
-            labels = get_attn_labels(tuple(shape_x), window_size,
-                                     shift_size, (0,) * 6)  # np [P, N]
-            if p is not None:
-                # Prompt-token key columns are never masked: label -1.
-                labels = np.concatenate(
-                    [labels, np.full((labels.shape[0], n_tokens), -1,
-                                     np.int32)], axis=-1)
-        else:
-            labels = None
-        n_content = x_win.shape[2]
-        bias_rows = pos_bias[:, :, :, :n_content, :]
+        bias_rows, labels, _ = self.plain_assembly(
+            tuple(shape_x), x_win.shape[2],
+            0 if p is None else p.shape[1],
+            self.get_shift_size(tuple(shape_x)))
         from ..ops.fused_block import fused_swin_block
         head_dim = self.hidden_channels // self.num_heads
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias_rows, labels, head_dim ** -0.5, self.num_heads,
             shift_geom=shift_geom, **self._drop_kw(deterministic))
+
+    def plain_assembly(self, shape_x, n_content, n_tokens, shift_size):
+        """(bias ``[1,1,H,Mc,N]``, labels np|None, FOLD_NONE) for the
+        unpadded (window-multiple) kernel call."""
+        window_size = tuple(self.window_size)
+        pos_bias = self.pe(window_size[0], window_size[1], window_size[2],
+                           n_tokens)[:, None]      # [1, 1, heads, N, N]
+        if any(s > 0 for s in shift_size):
+            labels = get_attn_labels(tuple(shape_x), window_size,
+                                     tuple(shift_size), (0,) * 6)  # [P, N]
+            if n_tokens:
+                # Prompt-token key columns are never masked: label -1.
+                labels = np.concatenate(
+                    [labels, np.full((labels.shape[0], n_tokens), -1,
+                                     np.int32)], axis=-1)
+        else:
+            labels = None
+        return pos_bias[:, :, :, :n_content, :], labels, 0
 
     def _forward_attn_mlp(self, x: jnp.ndarray, p: Optional[jnp.ndarray],
                           deterministic: bool) -> jnp.ndarray:
@@ -561,12 +573,56 @@ class ConsecutiveSwinBlocks(nn.Module):
                                         shift_geom=shift_geom)
 
         x_win = window_partition(x, wc)
-        x_win = run_block(self.swin_blocks[0], x_win, p0, (0, 0, 0))
         shift = self.swin_blocks[1].get_shift_size(shape_x)
         shifted = any(s > 0 for s in shift)
-        x_win = run_block(self.swin_blocks[1], x_win, p1, shift,
-                          shift_geom=(grid, wc, shift) if shifted else None)
-        return window_reverse(x_win, wc, shape_x)
+        sg = (grid, wc, shift) if shifted else None
+        out_win = self._run_pair_kernel(x_win, p0, p1, shape_x, w, paddings,
+                                        fold_axes, sg, deterministic)
+        if out_win is None:  # pair kernel unavailable: two kernel calls
+            x_win = run_block(self.swin_blocks[0], x_win, p0, (0, 0, 0))
+            out_win = run_block(self.swin_blocks[1], x_win, p1, shift,
+                                shift_geom=sg)
+        return window_reverse(out_win, wc, shape_x)
+
+    def _run_pair_kernel(self, x_win, p0, p1, shape_x, w, paddings,
+                         fold_axes, shift_geom, deterministic):
+        """One-kernel pair execution (ops/fused_block.py::fused_swin_pair)
+        or None when the geometry/env rules it out."""
+        from ..ops.fused_block import fused_swin_pair, pair_kernel_available
+        b0, b1 = self.swin_blocks
+        m = x_win.shape[2]
+        i = 0 if p0 is None else p0.shape[1]
+        i1 = 0 if p1 is None else p1.shape[1]
+        drop_active = (not deterministic) and \
+            (self.attn_drop > 0.0 or self.proj_drop > 0.0)
+        if i != i1 or not pair_kernel_available(
+                x_win.shape[0] * x_win.shape[1], x_win.shape[1],
+                self.num_heads, m, i, self.hidden_channels,
+                self.attn_drop if drop_active else 0.0, shift_geom,
+                bool(fold_axes)):
+            return None
+        shift = shift_geom[2] if shift_geom is not None else (0, 0, 0)
+        if fold_axes:
+            bias0, _, fm0 = b0.folded_assembly(
+                shape_x, w, (0, 0, 0), paddings, fold_axes, i)
+            bias1, labels, fm1 = b1.folded_assembly(
+                shape_x, w, shift, paddings, fold_axes, i)
+        else:
+            bias0, _, fm0 = b0.plain_assembly(shape_x, m, i, (0, 0, 0))
+            bias1, labels, fm1 = b1.plain_assembly(shape_x, m, i, shift)
+        drop_kw = {}
+        if drop_active:
+            drop_kw = dict(
+                dropout_seeds=jax.random.bits(self.make_rng("dropout"),
+                                              (4,), jnp.uint32),
+                attn_drop=self.attn_drop, proj_drop=self.proj_drop)
+        head_dim = self.hidden_channels // self.num_heads
+        return fused_swin_pair(
+            x_win, p0[0] if p0 is not None else None,
+            p1[0] if p1 is not None else None,
+            b0._block_params(), b1._block_params(), bias0, bias1, labels,
+            head_dim ** -0.5, self.num_heads, (fm0, fm1),
+            shift_geom=shift_geom, **drop_kw)
 
     def __call__(self, x: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:

@@ -113,17 +113,23 @@ def _token_rolls(x, plan, g: int, read: bool):
     return x
 
 
-def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
-                  wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
-                  bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
-                  o_ref, *,
-                  scale: float, num_heads: int, group: int, n_tokens: int,
-                  with_mask: bool, fold_mode: int, n_fold: int,
-                  head_block: int, attn_drop: float, proj_drop: float,
-                  fused_kv: bool, shift_plan=None):
+def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
+           wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
+           bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_a, seed_p,
+           w0, *,
+           scale: float, num_heads: int, group: int, n_tokens: int,
+           with_mask: bool, fold_mode: int, n_fold: int,
+           head_block: int, attn_drop: float, proj_drop: float,
+           fused_kv: bool):
+    """One full Swin block body on an in-VMEM fp32 ``[g, m, c]`` tile —
+    shared by the single-block kernel and the pair kernel (which runs
+    two phases back to back with the window shift rolled in between).
+    ``seed_a``/``seed_p`` are the block's dropout seed scalars; ``w0``
+    the block's first GLOBAL window index (uint32, dropout hashing).
+    Returns the fp32 block output tile."""
     from .prng import keep_mask
     g, h, i = group, num_heads, n_tokens
-    m, c = x_ref.shape[1], x_ref.shape[2]
+    m, c = x.shape[1], x.shape[2]
     n = m + n_fold + i
     # Working lane width: the fused-KV formulation (C <= 64) carries K in
     # lanes [0, c) and V in lanes [c, 2c) of ONE tensor end to end —
@@ -133,14 +139,6 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     # sees only V), and the projection weight has zero rows for the K
     # lanes.  Same MXU pass structure, half the k/v projection passes.
     cw = 2 * c if fused_kv else c
-    # Global index of this block's first window (uint32 for hashing).
-    w0 = (pl.program_id(0) * g).astype(jnp.uint32)
-    x = x_ref[:]                                          # [g, m, c]
-    if shift_plan is not None:
-        # Fused window shift: the block DMA'd the (index_map-permuted)
-        # source windows; assemble the shifted windows by token roll.
-        x = _token_rolls(x, shift_plan, g, read=True)
-    x = x.astype(jnp.float32)
     # Prompt-token K/V rows are per-batch constants: their LN and Wk/Wv
     # projections are hoisted OUT of the kernel (computed once per layer
     # call in _forward) and DMA'd in pre-projected — the in-kernel k/v
@@ -253,7 +251,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
             jj = jax.lax.broadcasted_iota(jnp.uint32, (g, hb * m, n), 2)
             head = h0 + rr // m
             idx = (((w0 + ig) * num_heads + head) * m + rr % m) * n + jj
-            probs = probs * keep_mask(seed_ref[0, 0], idx, attn_drop)
+            probs = probs * keep_mask(seed_a, idx, attn_drop)
         o_full = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [g, hb*m, cw]
@@ -271,17 +269,115 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         rr = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 1)
         jj = jax.lax.broadcasted_iota(jnp.uint32, (g, m, c), 2)
         idx = ((w0 + ig) * m + rr) * c + jj
-        proj = proj * keep_mask(seed_ref[0, 1], idx, proj_drop)
+        proj = proj * keep_mask(seed_p, idx, proj_drop)
     x1 = x + proj
     l2 = _ln(x1, ln2s_ref[0].astype(jnp.float32)[None, None, :],
              ln2b_ref[0].astype(jnp.float32)[None, None, :])
     mlp = dot2(l2.astype(jnp.bfloat16).reshape(g * m, c),
                wm_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bm_ref[0].astype(jnp.float32)[None, None, :]
-    out = (x1 + mlp).astype(o_ref.dtype)
+    return x1 + mlp
+
+
+def _src_w0(plan, g: int) -> jnp.ndarray:
+    """First SOURCE window index of this grid step's block (uint32) —
+    the same modular arithmetic the permuted index_map runs."""
+    (p1, p2, p3), _, s0s, _ = plan
+    P = p1 * p2 * p3
+    idx0 = pl.program_id(0) * g
+    img, w = idx0 // P, idx0 % P
+    o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
+    s1 = (o1 + s0s[0]) % p1
+    s2 = (o2 + s0s[1]) % p2
+    s3 = (o3 + s0s[2]) % p3
+    return (img * P + (s1 * p2 + s2) * p3 + s3).astype(jnp.uint32)
+
+
+def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
+                  wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
+                  bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
+                  o_ref, *,
+                  scale: float, num_heads: int, group: int, n_tokens: int,
+                  with_mask: bool, fold_mode: int, n_fold: int,
+                  head_block: int, attn_drop: float, proj_drop: float,
+                  fused_kv: bool, shift_plan=None):
+    g = group
+    # Global index of this block's first window (uint32 for hashing).
+    w0 = (pl.program_id(0) * g).astype(jnp.uint32)
+    x = x_ref[:]                                          # [g, m, c]
+    if shift_plan is not None:
+        # Fused window shift: the block DMA'd the (index_map-permuted)
+        # source windows; assemble the shifted windows by token roll.
+        x = _token_rolls(x, shift_plan, g, read=True)
+    out = _phase(x.astype(jnp.float32), ktok_ref, vtok_ref, ln1s_ref,
+                 ln1b_ref, wq_ref, wkv_ref, wp_ref, bp_ref, ln2s_ref,
+                 ln2b_ref, wm_ref, bm_ref, bias_ref, lq_ref, lk_ref,
+                 colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0,
+                 scale=scale, num_heads=num_heads, group=g,
+                 n_tokens=n_tokens, with_mask=with_mask,
+                 fold_mode=fold_mode, n_fold=n_fold, head_block=head_block,
+                 attn_drop=attn_drop, proj_drop=proj_drop,
+                 fused_kv=fused_kv)
+    out = out.astype(o_ref.dtype)
     if shift_plan is not None:
         # Undo the read roll so the (same-permuted) output write lands
         # the block back in unshifted window-major order.
+        out = _token_rolls(out, shift_plan, g, read=False)
+    o_ref[:] = out
+
+
+def _pair_kernel(x_ref,
+                 ktok0_ref, vtok0_ref, ln1s0_ref, ln1b0_ref, wq0_ref,
+                 wkv0_ref, wp0_ref, bp0_ref, ln2s0_ref, ln2b0_ref, wm0_ref,
+                 bm0_ref, bias0_ref,
+                 ktok1_ref, vtok1_ref, ln1s1_ref, ln1b1_ref, wq1_ref,
+                 wkv1_ref, wp1_ref, bp1_ref, ln2s1_ref, ln2b1_ref, wm1_ref,
+                 bm1_ref, bias1_ref,
+                 lq_ref, lk_ref, colmask_ref, seed_ref, o_ref, *,
+                 scale: float, num_heads: int, group: int, n_tokens: int,
+                 with_mask: bool, fold_modes: tuple, n_fold: int,
+                 head_block: int, attn_drop: float, proj_drop: float,
+                 fused_kv: bool, shift_plan=None):
+    """Both blocks of a Swin pair in ONE kernel.
+
+    The cyclic shift is a window-to-window bijection, so one grid step
+    owns a closed set: block 1 on the g source windows (this step's
+    permuted input block), the read-roll to shifted order, block 2
+    (masked), and the write-roll back — block 1's output NEVER reaches
+    HBM, and Mosaic gets two blocks of independent matmul work per
+    step to pipeline.  ``seed_ref`` is ``[1, 4]``: (attn0, proj0,
+    attn1, proj1).
+    """
+    g = group
+    common = dict(scale=scale, num_heads=num_heads, group=g,
+                  n_tokens=n_tokens, n_fold=n_fold, head_block=head_block,
+                  attn_drop=attn_drop, proj_drop=proj_drop,
+                  fused_kv=fused_kv)
+    # Block 1 runs on SOURCE windows: hash dropout with their indices.
+    if shift_plan is not None and any(shift_plan[2]):
+        w0_src = _src_w0(shift_plan, g)
+    else:
+        w0_src = (pl.program_id(0) * g).astype(jnp.uint32)
+    x = x_ref[:]
+    x1 = _phase(x.astype(jnp.float32), ktok0_ref, vtok0_ref, ln1s0_ref,
+                ln1b0_ref, wq0_ref, wkv0_ref, wp0_ref, bp0_ref, ln2s0_ref,
+                ln2b0_ref, wm0_ref, bm0_ref, bias0_ref, None, None,
+                colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0_src,
+                with_mask=False, fold_mode=fold_modes[0], **common)
+    # Round to the array dtype exactly as the two-kernel path does at
+    # its HBM boundary — keeps the pair kernel BITWISE equal to it.
+    x1 = x1.astype(x_ref.dtype)
+    if shift_plan is not None:
+        x1 = _token_rolls(x1, shift_plan, g, read=True)
+    w0 = (pl.program_id(0) * g).astype(jnp.uint32)
+    x2 = _phase(x1.astype(jnp.float32), ktok1_ref, vtok1_ref, ln1s1_ref,
+                ln1b1_ref, wq1_ref,
+                wkv1_ref, wp1_ref, bp1_ref, ln2s1_ref, ln2b1_ref, wm1_ref,
+                bm1_ref, bias1_ref, lq_ref, lk_ref, colmask_ref,
+                seed_ref[0, 2], seed_ref[0, 3], w0,
+                with_mask=with_mask, fold_mode=fold_modes[1], **common)
+    out = x2.astype(o_ref.dtype)
+    if shift_plan is not None:
         out = _token_rolls(out, shift_plan, g, read=False)
     o_ref[:] = out
 
@@ -377,7 +473,8 @@ _SCOPED_VMEM_SAFE = 14 * 1024 * 1024
 def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
                    num_heads: int, with_mask: bool,
                    with_dropout: bool = False,
-                   with_shift: bool = False) -> int:
+                   with_shift: bool = False,
+                   with_pair: bool = False) -> int:
     """Estimated peak scoped-VMEM bytes of one fused-block grid step.
 
     Calibrated against measured Mosaic stack OOMs: predicts the
@@ -407,13 +504,18 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     est += g * hb * m * cw * 4          # o_full
     if with_shift:
         est += 2 * g * m * c * 4        # in-kernel token-roll copies
+    if with_pair:
+        # Pair kernel: phase-1 output tile stays alive into phase 2,
+        # plus the second set of double-buffered weight/bias blocks.
+        est += 2 * g * m * c * 4 + 2 * num_heads * m * n * 4
     return est
 
 
 def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                with_mask: bool, c: int, fused_kv: bool,
                with_dropout: bool = False,
-               with_shift: bool = False) -> tuple:
+               with_shift: bool = False,
+               with_pair: bool = False) -> tuple:
     """Joint (window group g, head block hb) pick for the fused block.
 
     Prefers the LARGEST g that fits :func:`_vmem_estimate` under the
@@ -435,7 +537,8 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
             if num_heads % hb:
                 continue
             if _vmem_estimate(g, hb, m, n, c, cw, num_heads, with_mask,
-                              with_dropout, with_shift) <= _SCOPED_VMEM_SAFE:
+                              with_dropout, with_shift,
+                              with_pair) <= _SCOPED_VMEM_SAFE:
                 if forced_hb and num_heads % forced_hb == 0:
                     hb = forced_hb
                 return g, hb
@@ -669,6 +772,289 @@ def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def pair_kernel_available(bp: int, p, num_heads: int, m: int, i: int,
+                          c: int, attn_drop: float, shift_geom,
+                          fold: bool) -> bool:
+    """Can the PAIR kernel run this geometry?
+
+    Mirrors ``_forward_pair``'s (g, hb) pick, then requires an eligible
+    shift plan (the mid-kernel shift cannot materialize at trace level).
+    ``MIVP_NO_PAIR_KERNEL=1`` forces the two-kernel path.
+    """
+    import os
+    if os.environ.get("MIVP_NO_PAIR_KERNEL", "0") not in ("0", ""):
+        return False
+    if shift_geom is not None and \
+            os.environ.get("MIVP_NO_KERNEL_SHIFT", "0") not in ("0", ""):
+        return False  # the pair kernel REQUIRES the in-kernel shift
+    n_fold = fold_width(m, i) if fold else 0
+    n = m + n_fold + i
+    fused_kv = 2 * c <= 128
+    g, _ = _pick_g_hb(bp, p, num_heads, m, n, shift_geom is not None, c,
+                      fused_kv, with_dropout=attn_drop > 0.0,
+                      with_shift=shift_geom is not None, with_pair=True)
+    if shift_geom is None:
+        return True
+    from .windows import kernel_shift_plan
+    grid_s, wc_s, sh_s = shift_geom
+    return kernel_shift_plan(grid_s, wc_s, sh_s, g) is not None
+
+
+def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
+                  labels, scale, num_heads, fold_modes, n_fold, seeds=None,
+                  attn_drop=0.0, proj_drop=0.0, interpret=False,
+                  shift_geom=None):
+    bp, m, c = x.shape
+    i = 0 if tokens0 is None else tokens0.shape[0]
+    n = m + n_fold + i
+    dh = c // num_heads
+    p = labels.shape[0] if labels is not None else None
+    fused_kv = 2 * c <= 128
+    cw = 2 * c if fused_kv else c
+    g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
+                       fused_kv, with_dropout=attn_drop > 0.0,
+                       with_shift=shift_geom is not None, with_pair=True)
+    plan = None
+    if shift_geom is not None:
+        from .windows import kernel_shift_plan
+        grid_s, wc_s, sh_s = shift_geom
+        plan = kernel_shift_plan(grid_s, wc_s, sh_s, g)
+        if plan is None:
+            raise ValueError(
+                "pair kernel: shift plan ineligible at g="
+                f"{g} for {shift_geom}; gate with pair_kernel_available()")
+    if fused_kv:
+        colmask_np = np.zeros((2, num_heads, cw), np.float32)
+        for hh in range(num_heads):
+            colmask_np[0, hh, hh * dh:(hh + 1) * dh] = 1.0
+            colmask_np[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
+    else:
+        colmask_np = np.zeros((num_heads, c), np.float32)
+        for hh in range(num_heads):
+            colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    kernel = functools.partial(
+        _pair_kernel, scale=scale, num_heads=num_heads, group=g,
+        n_tokens=i, with_mask=labels is not None, fold_modes=fold_modes,
+        n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
+        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
+    if plan is not None and any(plan[2]):
+        (p1, p2, p3), _, (s01, s02, s03), _ = plan
+        P_s = p1 * p2 * p3
+
+        def x_index(idx):
+            w = (idx * g) % P_s
+            img = (idx * g) // P_s
+            o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
+            s1 = (o1 + s01) % p1
+            s2 = (o2 + s02) % p2
+            s3 = (o3 + s03) % p3
+            return ((img * P_s + (s1 * p2 + s2) * p3 + s3) // g, 0, 0)
+    else:
+        x_index = lambda idx: (idx, 0, 0)
+    x_spec = pl.BlockSpec((g, m, c), x_index, memory_space=pltpu.VMEM)
+    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
+                             memory_space=pltpu.VMEM)
+    v2 = lambda a: a.reshape(1, -1)
+
+    def block_ops(params, tokens, bias):
+        """(specs, args) for one phase's 13 weight/bias operands."""
+        if i > 0:
+            tln = _ln(tokens.astype(jnp.float32),
+                      params["ln1_scale"].astype(jnp.float32)[None, :],
+                      params["ln1_bias"].astype(jnp.float32)[None, :])
+            t16 = tln.astype(jnp.bfloat16)
+            hdot = lambda a, b: jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ktok = hdot(t16, params["wk"].astype(jnp.bfloat16)) \
+                .astype(jnp.bfloat16)
+            vtok = hdot(t16, params["wv"].astype(jnp.bfloat16)) \
+                .astype(jnp.bfloat16)
+        else:
+            ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
+        zeros_w = jnp.zeros((c, c), params["wq"].dtype)
+        if fused_kv:
+            wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
+            wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
+            wp_arg = jnp.concatenate(
+                [zeros_w.astype(params["wproj"].dtype), params["wproj"]],
+                axis=0)
+            ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
+        else:
+            wq_arg = params["wq"]
+            wkv = jnp.stack([params["wk"], params["wv"]], axis=0)
+            wp_arg = params["wproj"]
+            ktok_arg, vtok_arg = ktok, vtok
+        specs = [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
+                 fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
+                 fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
+                 bias_spec]
+        args = [ktok_arg, vtok_arg,
+                v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
+                wkv, wp_arg, v2(params["bproj"]),
+                v2(params["ln2_scale"]), v2(params["ln2_bias"]),
+                params["wmlp"],
+                v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
+        return specs, args
+
+    s0, a0 = block_ops(params0, tokens0, bias0)
+    s1, a1 = block_ops(params1, tokens1, bias1)
+    in_specs = [x_spec] + s0 + s1
+    args = [x] + a0 + a1
+    if labels is not None:
+        pg = p // g
+        in_specs.append(pl.BlockSpec((g, m, 1), lambda idx: (idx % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(labels[:, :m, None])
+        in_specs.append(pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(labels[:, None, :])
+    else:
+        for shp in ((1, 1, 1), (1, 1, 1)):
+            in_specs.append(pl.BlockSpec(shp, lambda idx: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.zeros(shp, jnp.int32))
+    in_specs.append(fix(*colmask_np.shape))
+    args.append(jnp.asarray(colmask_np))
+    in_specs.append(pl.BlockSpec((1, 4), lambda idx: (0, 0),
+                                 memory_space=pltpu.SMEM))
+    args.append(jnp.zeros((1, 4), jnp.uint32) if seeds is None
+                else seeds.reshape(1, 4).astype(jnp.uint32))
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // g,),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, m, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (4 * bp * num_heads * m * n * dh
+                       + 12 * bp * n * c * c),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=2 * bp * num_heads * m * n),
+        interpret=interpret or _wap._FORCE_INTERPRET,
+    )(*args)
+
+
+def _pair_reference(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
+                    labels, seeds, scale, num_heads, has_tokens,
+                    fold_modes, n_fold, attn_drop, proj_drop, shift_geom):
+    """jnp mirror of the pair kernel: block 1 (unshifted), trace-level
+    window shift, block 2 (masked), inverse shift."""
+    params0 = dict(zip(_PARAM_KEYS, ptuple0))
+    params1 = dict(zip(_PARAM_KEYS, ptuple1))
+    s0 = None if seeds is None else seeds[:2]
+    s1 = None if seeds is None else seeds[2:]
+    x1 = _block_reference(x, tokens0 if has_tokens else None, params0,
+                          bias0, None, scale, num_heads, fold_modes[0],
+                          n_fold, s0, attn_drop, proj_drop)
+    if shift_geom is not None:
+        from .windows import window_shift
+        grid_s, wc_s, sh_s = shift_geom
+        P_s = int(np.prod(grid_s))
+        bp, m, c = x.shape
+        bb = bp // P_s
+        x1 = window_shift(x1.reshape(bb, P_s, m, c), grid_s, wc_s,
+                          sh_s).reshape(bp, m, c)
+    out = _block_reference(x1, tokens1 if has_tokens else None, params1,
+                           bias1, labels, scale, num_heads, fold_modes[1],
+                           n_fold, s1, attn_drop, proj_drop)
+    if shift_geom is not None:
+        out = window_shift(out.reshape(bb, P_s, m, c), grid_s, wc_s, sh_s,
+                           inverse=True).reshape(bp, m, c)
+    return out
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
+def _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
+                labels, seeds, scale, num_heads, has_tokens, fold_modes,
+                n_fold, attn_drop, proj_drop, interpret, shift_geom):
+    return _forward_pair(
+        x, tokens0 if has_tokens else None, tokens1 if has_tokens else None,
+        dict(zip(_PARAM_KEYS, ptuple0)), dict(zip(_PARAM_KEYS, ptuple1)),
+        bias0, bias1, labels, scale, num_heads, fold_modes, n_fold, seeds,
+        attn_drop, proj_drop, interpret, shift_geom)
+
+
+def _fused_pair_fwd(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
+                    labels, seeds, scale, num_heads, has_tokens, fold_modes,
+                    n_fold, attn_drop, proj_drop, interpret, shift_geom):
+    out = _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
+                      labels, seeds, scale, num_heads, has_tokens,
+                      fold_modes, n_fold, attn_drop, proj_drop, interpret,
+                      shift_geom)
+    return out, (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
+                 labels, seeds)
+
+
+def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
+                    attn_drop, proj_drop, interpret, shift_geom, res, g):
+    (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1, labels,
+     seeds) = res
+
+    def ref(x_, t0_, t1_, p0_, p1_, b0_, b1_, lab_, seeds_):
+        return _pair_reference(x_, t0_, t1_, p0_, p1_, b0_, b1_, lab_,
+                               seeds_, scale, num_heads, has_tokens,
+                               fold_modes, n_fold, attn_drop, proj_drop,
+                               shift_geom)
+
+    _, vjp = jax.vjp(ref, x, tokens0, tokens1, ptuple0, ptuple1, bias0,
+                     bias1, labels, seeds)
+    return vjp(g)
+
+
+_fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+
+
+def fused_swin_pair(x_win: jnp.ndarray, tokens0, tokens1, params0: dict,
+                    params1: dict, bias0: jnp.ndarray, bias1: jnp.ndarray,
+                    labels, scale: float, num_heads: int,
+                    fold_modes=(FOLD_NONE, FOLD_NONE),
+                    shift_geom=None, dropout_seeds=None,
+                    attn_drop: float = 0.0, proj_drop: float = 0.0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Run a full Swin block PAIR (no-shift block, then shifted block) in
+    one kernel — the shift lives between the two phases as in-VMEM token
+    rolls over index_map-permuted blocks, so the first block's output
+    never reaches HBM.
+
+    ``x_win``: UNSHIFTED ``[B, P, M, C]`` window tokens; ``bias1``/
+    ``labels`` describe the SHIFTED windows.  Caller must gate on
+    :func:`pair_kernel_available`.  ``dropout_seeds``: ``[4]`` uint32
+    (attn0, proj0, attn1, proj1) or None.
+    """
+    b, p, m, c = x_win.shape
+    i0 = 0 if tokens0 is None else tokens0.shape[0]
+    i1 = 0 if tokens1 is None else tokens1.shape[0]
+    if i0 != i1:
+        raise ValueError("pair kernel needs equal token counts per block")
+    n_fold = fold_width(m, i0) if (fold_modes[0] or fold_modes[1]) else 0
+    n = m + n_fold + i0
+    xf = x_win.reshape(b * p, m, c)
+    lab = None if labels is None \
+        else jnp.asarray(labels, jnp.int32).reshape(p, n)
+    pt0 = tuple(params0[k] for k in _PARAM_KEYS)
+    pt1 = tuple(params1[k] for k in _PARAM_KEYS)
+    tok0 = tokens0 if tokens0 is not None else jnp.zeros((1, c), x_win.dtype)
+    tok1 = tokens1 if tokens1 is not None else jnp.zeros((1, c), x_win.dtype)
+    if dropout_seeds is None:
+        dropout_seeds = jnp.zeros((4,), jnp.uint32)
+        attn_drop = proj_drop = 0.0
+    if shift_geom is not None:
+        shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
+    out = _fused_pair(xf, tok0, tok1, pt0, pt1,
+                      bias0.reshape(num_heads, m, n),
+                      bias1.reshape(num_heads, m, n), lab, dropout_seeds,
+                      scale, num_heads, tokens0 is not None,
+                      tuple(fold_modes), n_fold, float(attn_drop),
+                      float(proj_drop), interpret, shift_geom)
+    return out.reshape(b, p, m, c)
 
 
 def fold_width(m: int, n_tokens: int) -> int:

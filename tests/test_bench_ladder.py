@@ -46,28 +46,32 @@ def test_ladder_falls_through_to_working_tier(monkeypatch, capsys):
 
     def fake_build(attn_impl, fold_head_hw):
         calls.append((attn_impl, fold_head_hw,
+                      os.environ.get("MIVP_NO_PAIR_KERNEL"),
                       os.environ.get("MIVP_NO_KERNEL_SHIFT"),
                       os.environ.get("MIVP_NO_FUSED_BLOCK")))
-        if len(calls) < 4:  # full / no-kernel-shift / no-fold-head die
+        if len(calls) < 5:  # everything above no-fused-block dies
             raise RuntimeError("mosaic lowering failed")
         return _fake_built()
 
     monkeypatch.setattr(bench, "_build_run", fake_build)
     monkeypatch.setattr(bench, "_device_preflight", lambda: True)
     monkeypatch.setattr(bench, "REPEATS", 1)
-    monkeypatch.delenv("MIVP_NO_FUSED_BLOCK", raising=False)
-    monkeypatch.delenv("MIVP_NO_KERNEL_SHIFT", raising=False)
+    for var in ("MIVP_NO_FUSED_BLOCK", "MIVP_NO_KERNEL_SHIFT",
+                "MIVP_NO_PAIR_KERNEL"):
+        monkeypatch.delenv(var, raising=False)
     rec = _run_main(capsys)
     assert rec["metric"] == "sliding_window_volumes_per_sec_per_chip"
     assert rec["value"] > 0
-    # Tier 1 only disables the kernel shift; the winning tier 3 ran with
-    # the fused block disabled and the fold head off.
+    # Tier 1 disables only the pair kernel, tier 2 also the kernel
+    # shift; the winning tier 4 adds no-fused-block with fold head off.
     assert calls[1][2] == "1" and calls[1][3] is None
-    assert calls[3][1] is False
-    assert calls[3][2] == "1" and calls[3][3] == "1"
+    assert calls[2][2] == "1" and calls[2][3] == "1" and calls[2][4] is None
+    assert calls[4][1] is False
+    assert calls[4][3] == "1" and calls[4][4] == "1"
     # The ladder's env mutations must not leak into the process.
-    assert "MIVP_NO_FUSED_BLOCK" not in os.environ
-    assert "MIVP_NO_KERNEL_SHIFT" not in os.environ
+    for var in ("MIVP_NO_FUSED_BLOCK", "MIVP_NO_KERNEL_SHIFT",
+                "MIVP_NO_PAIR_KERNEL"):
+        assert var not in os.environ
 
 
 def test_ladder_reports_zero_when_everything_fails(monkeypatch, capsys):

@@ -25,13 +25,16 @@ run() {
 
 # 1. Full configuration (everything on) — the round-end driver setting.
 run full
-# 2. Isolate the in-kernel fused window shift.
-run no-kernel-shift MIVP_NO_KERNEL_SHIFT=1
-# 3. Isolate the parity (subpixel) H/W head fold.
+# 2. Isolate the one-kernel block pairs.
+run no-pair-kernel MIVP_NO_PAIR_KERNEL=1
+# 3. Isolate the in-kernel fused window shift (pair kernel off too —
+#    it requires the in-kernel shift).
+run no-kernel-shift MIVP_NO_PAIR_KERNEL=1 MIVP_NO_KERNEL_SHIFT=1
+# 4. Isolate the parity (subpixel) H/W head fold.
 run no-fold-head BENCH_FOLD_HEAD_HW=0
-# 4. Isolate the in-kernel label masks + fused block (tier = packed kernels).
-run no-fused-block BENCH_TIER=3
-# 5. Chunk-size sweep at the full configuration.
+# 5. Isolate the in-kernel label masks + fused block (tier = packed kernels).
+run no-fused-block BENCH_TIER=4
+# 6. Chunk-size sweep at the full configuration.
 for c in 8 16 20 40; do
   run "chunk$c" BENCH_CHUNK=$c
 done
