@@ -39,5 +39,13 @@ for c in 8 16 20 40; do
   run "chunk$c" BENCH_CHUNK=$c
 done
 
+# 7. Training-step times (downstream + phase-2 north-star) with and
+#    without the pair kernel.
+for knob in "" "MIVP_NO_PAIR_KERNEL=1"; do
+  echo "=== train-step ${knob:-full}" | tee -a "$OUT"
+  env $knob timeout 3000 python tools/bench_train_step.py 2>/dev/null \
+    | tail -4 | tee -a "$OUT"
+done
+
 echo "=== summary" | tee -a "$OUT"
 grep -h '"value"' "$OUT" || true
