@@ -103,15 +103,22 @@ def _device_preflight() -> bool:
 
     When the remote TPU tunnel is wedged, ``jax.devices()`` hangs
     indefinitely rather than raising — an in-process failure mode the
-    tier ladder cannot catch.  A hung probe is killed and the bench
-    reports a zero datapoint instead of hanging the driver.
+    tier ladder cannot catch.  ONLY a hung probe (TimeoutExpired) fails
+    the preflight: a probe that errors fast (device held by another
+    process, transient init failure) falls through to the ladder, which
+    converts in-process failures into fallback tiers or the zero
+    datapoint itself.  ``BENCH_PREFLIGHT_TIMEOUT=0`` skips the probe
+    (e.g. tools/tpu_ab.sh, where the watchdog already proved the tunnel
+    and each probe would pay a slow remote backend init).
     """
     import subprocess
     import sys
-    timeout_s = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "300"))
-    env = dict(os.environ)
-    env.pop("BENCH_PREFLIGHT_TIMEOUT", None)
     try:
+        timeout_s = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "300"))
+        if timeout_s <= 0:
+            return True
+        env = dict(os.environ)
+        env.pop("BENCH_PREFLIGHT_TIMEOUT", None)
         r = subprocess.run(
             [sys.executable, "-c",
              "from medical_image_segmentation_with_visual_prompts_tpu.utils"
@@ -121,13 +128,18 @@ def _device_preflight() -> bool:
             timeout=timeout_s, capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         if r.returncode != 0:
-            print(f"device preflight failed: {r.stderr[-500:]}",
+            print(f"device preflight errored (rc={r.returncode}); "
+                  f"continuing to the ladder: {r.stderr[-500:]}",
                   file=sys.stderr)
-        return r.returncode == 0
+        return True
     except subprocess.TimeoutExpired:
-        print(f"device preflight HUNG (> {timeout_s}s): backend tunnel "
-              "unresponsive", file=sys.stderr)
+        print("device preflight HUNG: backend tunnel unresponsive",
+              file=sys.stderr)
         return False
+    except Exception as e:  # any probe malfunction: let the ladder decide
+        print(f"device preflight skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return True
 
 
 def main():

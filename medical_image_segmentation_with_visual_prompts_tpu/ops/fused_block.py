@@ -279,18 +279,34 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     return x1 + mlp
 
 
-def _src_w0(plan, g: int) -> jnp.ndarray:
-    """First SOURCE window index of this grid step's block (uint32) —
-    the same modular arithmetic the permuted index_map runs."""
+def _source_window(plan, idx0):
+    """Flat SOURCE window index feeding shifted window ``idx0`` — the
+    single definition of the shift's (o + s0) mod p flattening, shared
+    by the kernels' dropout hashing and BOTH index_maps (input and
+    output must agree bitwise)."""
     (p1, p2, p3), _, s0s, _ = plan
     P = p1 * p2 * p3
-    idx0 = pl.program_id(0) * g
     img, w = idx0 // P, idx0 % P
     o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
     s1 = (o1 + s0s[0]) % p1
     s2 = (o2 + s0s[1]) % p2
     s3 = (o3 + s0s[2]) % p3
-    return (img * P + (s1 * p2 + s2) * p3 + s3).astype(jnp.uint32)
+    return img * P + (s1 * p2 + s2) * p3 + s3
+
+
+def _src_w0(plan, g: int) -> jnp.ndarray:
+    """First SOURCE window index of this grid step's block (uint32)."""
+    return _source_window(plan, pl.program_id(0) * g).astype(jnp.uint32)
+
+
+def _x_index(plan, g: int):
+    """Input/output ``index_map`` for the window-permuted x blocks:
+    grid step idx (shifted windows [idx*g, idx*g+g)) reads AND writes
+    the g-aligned source block — contiguous by plan eligibility; the
+    kernel's inverse write-roll lands the block back unshifted."""
+    if plan is None or not any(plan[2]):
+        return lambda idx: (idx, 0, 0)
+    return lambda idx: (_source_window(plan, idx * g) // g, 0, 0)
 
 
 def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
@@ -547,6 +563,82 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
         forced_hb and num_heads % forced_hb == 0) else 1
 
 
+def _colmask_np(num_heads: int, c: int, cw: int,
+                fused_kv: bool) -> np.ndarray:
+    """Per-head lane masks.  fused_kv: plane 0 masks each head's K lanes
+    (applied to q), plane 1 its V lanes (attention output)."""
+    dh = c // num_heads
+    if fused_kv:
+        cm = np.zeros((2, num_heads, cw), np.float32)
+        for hh in range(num_heads):
+            cm[0, hh, hh * dh:(hh + 1) * dh] = 1.0
+            cm[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
+    else:
+        cm = np.zeros((num_heads, c), np.float32)
+        for hh in range(num_heads):
+            cm[hh, hh * dh:(hh + 1) * dh] = 1.0
+    return cm
+
+
+def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
+                    bias):
+    """(specs, args) for ONE block's 13 weight/bias kernel operands, in
+    kernel-signature order (ktok, vtok, ln1 scale/bias, wq, wkv, wproj,
+    bproj, ln2 scale/bias, wmlp, bmlp, assembled bias) — the single
+    definition of the fused-KV operand layout ([Wq | 0], [0 ; Wproj],
+    concatenated prompt K/V), shared by the single-block and the pair
+    builders so their numerics can never diverge."""
+    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
+    # (tiny [i, c] matmuls) instead of once per grid step inside the
+    # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
+    if i > 0:
+        tln = _ln(tokens.astype(jnp.float32),
+                  params["ln1_scale"].astype(jnp.float32)[None, :],
+                  params["ln1_bias"].astype(jnp.float32)[None, :])
+        t16 = tln.astype(jnp.bfloat16)
+        hdot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ktok = hdot(t16, params["wk"].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16)
+        vtok = hdot(t16, params["wv"].astype(jnp.bfloat16)) \
+            .astype(jnp.bfloat16)
+    else:
+        ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
+    zeros_w = jnp.zeros((c, c), params["wq"].dtype)
+    if fused_kv:
+        # [Wq | 0]: q's V lanes come out zero, so scores contract over
+        # the K lanes only; [0 ; Wproj]: the projection ignores the
+        # garbage K lanes of the attention output.
+        wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
+        wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
+        wp_arg = jnp.concatenate(
+            [zeros_w.astype(params["wproj"].dtype), params["wproj"]], axis=0)
+        ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
+    else:
+        wq_arg = params["wq"]
+        wkv = jnp.stack([params["wk"], params["wv"]], axis=0)  # [2, c, c]
+        wp_arg = params["wproj"]
+        ktok_arg, vtok_arg = ktok, vtok
+    v2 = lambda a: a.reshape(1, -1)
+    specs = [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
+             fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
+             fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
+             pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
+                          memory_space=pltpu.VMEM)]
+    args = [ktok_arg, vtok_arg,
+            v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
+            wkv, wp_arg, v2(params["bproj"]),
+            v2(params["ln2_scale"]), v2(params["ln2_bias"]),
+            params["wmlp"], v2(params["bmlp"]),
+            bias.reshape(num_heads * m, n)]
+    return specs, args
+
+
 def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
              interpret=False, shift_geom=None):
@@ -588,94 +680,21 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
 
             x = _shift(x, False)
             unshift = lambda t: _shift(t, True)
-    if fused_kv:
-        colmask_np = np.zeros((2, num_heads, cw), np.float32)
-        for hh in range(num_heads):
-            colmask_np[0, hh, hh * dh:(hh + 1) * dh] = 1.0      # K lanes
-            colmask_np[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
-    else:
-        colmask_np = np.zeros((num_heads, c), np.float32)
-        for hh in range(num_heads):
-            colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+    colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
-    if plan is not None and any(plan[2]):
-        # Window-permuted blocks: grid step idx (shifted windows
-        # [idx*g, idx*g+g)) reads/writes the g-aligned source block
-        # holding windows (o + s0) mod p — contiguous by plan
-        # eligibility.  Same map on input and output: the kernel's
-        # inverse write-roll lands the block back unshifted.
-        (p1, p2, p3), _, (s01, s02, s03), _ = plan
-        P_s = p1 * p2 * p3
-
-        def x_index(idx):
-            w = (idx * g) % P_s
-            img = (idx * g) // P_s
-            o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
-            s1 = (o1 + s01) % p1
-            s2 = (o2 + s02) % p2
-            s3 = (o3 + s03) % p3
-            return ((img * P_s + (s1 * p2 + s2) * p3 + s3) // g, 0, 0)
-    else:
-        x_index = lambda idx: (idx, 0, 0)
-    x_spec = pl.BlockSpec((g, m, c), x_index,
+    x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
-    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
-                                  memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    mat = fix(c, c)
-    wq_spec = fix(c, cw)
-    wkv_spec = fix(c, 2 * c) if fused_kv else fix(2, c, c)
-    wp_spec = fix(cw, c)
-    tok_spec = fix(max(i, 1), cw)
-    bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
-                             memory_space=pltpu.VMEM)
     colmask_spec = fix(*colmask_np.shape)
-    in_specs = [x_spec, tok_spec, tok_spec, vec(c), vec(c), wq_spec,
-                wkv_spec, wp_spec, vec(c), vec(c), vec(c), mat, vec(c),
-                bias_spec]
-    # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
-    # (tiny [i, c] matmuls) instead of once per grid step inside the
-    # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
-    if i > 0:
-        tln = _ln(tokens.astype(jnp.float32),
-                  params["ln1_scale"].astype(jnp.float32)[None, :],
-                  params["ln1_bias"].astype(jnp.float32)[None, :])
-        t16 = tln.astype(jnp.bfloat16)
-        hdot = lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ktok = hdot(t16, params["wk"].astype(jnp.bfloat16)) \
-            .astype(jnp.bfloat16)
-        vtok = hdot(t16, params["wv"].astype(jnp.bfloat16)) \
-            .astype(jnp.bfloat16)
-    else:
-        ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
-    v2 = lambda a: a.reshape(1, -1)
-    zeros_w = jnp.zeros((c, c), params["wq"].dtype)
-    if fused_kv:
-        # [Wq | 0]: q's V lanes come out zero, so scores contract over
-        # the K lanes only; [0 ; Wproj]: the projection ignores the
-        # garbage K lanes of the attention output.
-        wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
-        wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
-        wp_arg = jnp.concatenate(
-            [zeros_w.astype(params["wproj"].dtype), params["wproj"]], axis=0)
-        ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
-    else:
-        wq_arg = params["wq"]
-        wkv = jnp.stack([params["wk"], params["wv"]], axis=0)  # [2, c, c]
-        wp_arg = params["wproj"]
-        ktok_arg, vtok_arg = ktok, vtok
-    args = [x, ktok_arg, vtok_arg,
-            v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
-            wkv, wp_arg, v2(params["bproj"]),
-            v2(params["ln2_scale"]), v2(params["ln2_bias"]), params["wmlp"],
-            v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
+    blk_specs, blk_args = _block_operands(params, tokens, i, c, cw,
+                                          fused_kv, num_heads, m, n, bias)
+    in_specs = [x_spec] + blk_specs
+    args = [x] + blk_args
     if labels is not None:
         pg = p // g
         # Per-window region labels, split into query-row ([p, m, 1]) and
@@ -822,89 +841,31 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
         grid_s, wc_s, sh_s = shift_geom
         plan = kernel_shift_plan(grid_s, wc_s, sh_s, g)
         if plan is None:
-            raise ValueError(
-                "pair kernel: shift plan ineligible at g="
-                f"{g} for {shift_geom}; gate with pair_kernel_available()")
-    if fused_kv:
-        colmask_np = np.zeros((2, num_heads, cw), np.float32)
-        for hh in range(num_heads):
-            colmask_np[0, hh, hh * dh:(hh + 1) * dh] = 1.0
-            colmask_np[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
-    else:
-        colmask_np = np.zeros((num_heads, c), np.float32)
-        for hh in range(num_heads):
-            colmask_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+            # Geometry drifted from pair_kernel_available's gate (or a
+            # future caller skipped it): degrade to the two-kernel path
+            # with the trace-level shift — never fail mid-trace.
+            x1 = _forward(x, tokens0, params0, bias0, None, scale,
+                          num_heads, fold_modes[0], n_fold,
+                          None if seeds is None else seeds[:2],
+                          attn_drop, proj_drop, interpret)
+            return _forward(x1, tokens1, params1, bias1, labels, scale,
+                            num_heads, fold_modes[1], n_fold,
+                            None if seeds is None else seeds[2:],
+                            attn_drop, proj_drop, interpret, shift_geom)
+    colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
     kernel = functools.partial(
         _pair_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_modes=fold_modes,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
-    if plan is not None and any(plan[2]):
-        (p1, p2, p3), _, (s01, s02, s03), _ = plan
-        P_s = p1 * p2 * p3
-
-        def x_index(idx):
-            w = (idx * g) % P_s
-            img = (idx * g) // P_s
-            o1, o2, o3 = w // (p2 * p3), (w // p3) % p2, w % p3
-            s1 = (o1 + s01) % p1
-            s2 = (o2 + s02) % p2
-            s3 = (o3 + s03) % p3
-            return ((img * P_s + (s1 * p2 + s2) * p3 + s3) // g, 0, 0)
-    else:
-        x_index = lambda idx: (idx, 0, 0)
-    x_spec = pl.BlockSpec((g, m, c), x_index, memory_space=pltpu.VMEM)
-    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
-                                  memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
+                          memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
-                             memory_space=pltpu.VMEM)
-    v2 = lambda a: a.reshape(1, -1)
-
-    def block_ops(params, tokens, bias):
-        """(specs, args) for one phase's 13 weight/bias operands."""
-        if i > 0:
-            tln = _ln(tokens.astype(jnp.float32),
-                      params["ln1_scale"].astype(jnp.float32)[None, :],
-                      params["ln1_bias"].astype(jnp.float32)[None, :])
-            t16 = tln.astype(jnp.bfloat16)
-            hdot = lambda a, b: jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ktok = hdot(t16, params["wk"].astype(jnp.bfloat16)) \
-                .astype(jnp.bfloat16)
-            vtok = hdot(t16, params["wv"].astype(jnp.bfloat16)) \
-                .astype(jnp.bfloat16)
-        else:
-            ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
-        zeros_w = jnp.zeros((c, c), params["wq"].dtype)
-        if fused_kv:
-            wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
-            wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
-            wp_arg = jnp.concatenate(
-                [zeros_w.astype(params["wproj"].dtype), params["wproj"]],
-                axis=0)
-            ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
-        else:
-            wq_arg = params["wq"]
-            wkv = jnp.stack([params["wk"], params["wv"]], axis=0)
-            wp_arg = params["wproj"]
-            ktok_arg, vtok_arg = ktok, vtok
-        specs = [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
-                 fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
-                 fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
-                 bias_spec]
-        args = [ktok_arg, vtok_arg,
-                v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
-                wkv, wp_arg, v2(params["bproj"]),
-                v2(params["ln2_scale"]), v2(params["ln2_bias"]),
-                params["wmlp"],
-                v2(params["bmlp"]), bias.reshape(num_heads * m, n)]
-        return specs, args
-
-    s0, a0 = block_ops(params0, tokens0, bias0)
-    s1, a1 = block_ops(params1, tokens1, bias1)
+    s0, a0 = _block_operands(params0, tokens0, i, c, cw, fused_kv,
+                             num_heads, m, n, bias0)
+    s1, a1 = _block_operands(params1, tokens1, i, c, cw, fused_kv,
+                             num_heads, m, n, bias1)
     in_specs = [x_spec] + s0 + s1
     args = [x] + a0 + a1
     if labels is not None:

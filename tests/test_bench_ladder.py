@@ -103,6 +103,21 @@ def test_preflight_passes_on_cpu(monkeypatch):
     assert bench._device_preflight() is True
 
 
+def test_preflight_error_falls_through_to_ladder(monkeypatch):
+    """A probe that errors FAST (bad platform, device held elsewhere) is
+    not a wedged tunnel: the ladder must get its chance."""
+    monkeypatch.setenv("JAX_PLATFORMS", "definitely-not-a-backend")
+    assert bench._device_preflight() is True
+
+
+def test_preflight_skip_knob(monkeypatch):
+    monkeypatch.setenv("BENCH_PREFLIGHT_TIMEOUT", "0")
+    assert bench._device_preflight() is True
+    # Malformed value must not crash the bench (ladder still runs).
+    monkeypatch.setenv("BENCH_PREFLIGHT_TIMEOUT", "5m")
+    assert bench._device_preflight() is True
+
+
 def _block(impl, c=8, heads=2, window=(4, 4, 4)):
     return SwinTransformerBlock(
         hidden_channels=c, window_size=window, pos_bias_embed_dim=8,

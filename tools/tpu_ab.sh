@@ -9,6 +9,9 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_ab.log}
 : > "$OUT"
+# The caller (watchdog) already proved the tunnel is up; skip the
+# per-run preflight probe and its slow remote backend init.
+export BENCH_PREFLIGHT_TIMEOUT=0
 
 run() {
   local name="$1"; shift
