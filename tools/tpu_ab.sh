@@ -42,7 +42,12 @@ for c in 8 16 20 40; do
   run "chunk$c" BENCH_CHUNK=$c
 done
 
-# 7. Training-step times (downstream + phase-2 north-star) with and
+# 7. End-to-end serving throughput (NIfTI IO + bucketed inference).
+echo "=== serving" | tee -a "$OUT"
+timeout 3000 python tools/bench_serving.py --n 12 2>/dev/null \
+  | tail -2 | tee -a "$OUT"
+
+# 8. Training-step times (downstream + phase-2 north-star) with and
 #    without the pair kernel.
 for knob in "" "MIVP_NO_PAIR_KERNEL=1"; do
   echo "=== train-step ${knob:-full}" | tee -a "$OUT"
