@@ -43,11 +43,13 @@ def _inputs(shape, tokens=3):
 
 
 # shapes: window-permuted shift (g=2), pure-roll shift, folded depth,
-# unshifted pair (adaptive zero shift at 4x4x4 == window).
+# unshifted pair (adaptive zero shift at 4x4x4 == window), and an
+# unshifted pair whose g=4 grid blocks span FOUR images (P=1 per image).
 CASES = [((2, 16, 16, 4, 8), "2"),
          ((2, 8, 8, 4, 8), "0"),
          ((2, 16, 16, 2, 8), "2"),
-         ((1, 4, 4, 4, 8), "0")]
+         ((1, 4, 4, 4, 8), "0"),
+         ((4, 4, 4, 4, 8), "0")]
 
 
 @pytest.mark.parametrize("shape,force_g", CASES)

@@ -38,7 +38,7 @@ run no-fold-head BENCH_FOLD_HEAD_HW=0
 # 5. Isolate the in-kernel label masks + fused block (tier = packed kernels).
 run no-fused-block BENCH_TIER=4
 # 6. Chunk-size sweep at the full configuration.
-for c in 8 16 20 40; do
+for c in 8 16 20 40 80; do
   run "chunk$c" BENCH_CHUNK=$c
 done
 
