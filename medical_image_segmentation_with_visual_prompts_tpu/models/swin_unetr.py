@@ -183,7 +183,7 @@ class _SegHead(nn.Module):
                             (3, 3, 3, x.shape[-1], self.out_channels))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.out_channels,))
-        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        on_tpu = _wap.on_tpu_path() or _wap.force_interpret()
         # TPU inference: BN (running stats) folded into the depth-lanes
         # tap einsum — 1.21 ms vs 2.33 for BN + the 27-tap shift
         # decomposition at [16,128,128,8] (tools/bench_head_variants.py;
@@ -457,7 +457,7 @@ class SwinUnetR(nn.Module):
         from ..ops import window_attention_pallas as _wap
         conf = self.conf
         out_list = [x]
-        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        on_tpu = _wap.on_tpu_path() or _wap.force_interpret()
         if deterministic and on_tpu and not self.is_initializing():
             enc = self._patch_embed_folded(x)
         else:
@@ -557,7 +557,7 @@ class SwinUnetR(nn.Module):
     def forward_downstream(self, x: jnp.ndarray, deterministic: bool = True):
         """Ref :123-127."""
         from ..ops import window_attention_pallas as _wap
-        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        on_tpu = _wap.on_tpu_path() or _wap.force_interpret()
         if (self.conf.unetr_res_block == "none" and deterministic
                 and self.conf.fold_head_depth
                 and on_tpu and not self.is_initializing()):

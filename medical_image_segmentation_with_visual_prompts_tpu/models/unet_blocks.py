@@ -67,7 +67,7 @@ class Conv3d(nn.Module):
         from ..ops import window_attention_pallas as _wap
         from ..ops.conv_fold import (conv3d_depth_folded, conv3d_tap_matmul,
                                      fold_plan)
-        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        on_tpu = _wap.on_tpu_path() or _wap.force_interpret()
         plan = fold_plan(x.shape, self.kernel_size, self.strides, self._pad,
                          self.features) if on_tpu else None
         if plan is not None and not self.is_initializing():
@@ -226,7 +226,7 @@ class SwinUpBlock(nn.Module):
         # inputs separately (ops/conv_pallas.py::conv3x3_fused_pair):
         # the concatenated tensor, its depth-fold reshape and lane pad
         # never reach HBM (traced ~4 ms/volume of data formatting).
-        on_tpu = jax.default_backend() == "tpu" or _wap.force_interpret()
+        on_tpu = _wap.on_tpu_path() or _wap.force_interpret()
         if (on_tpu and deterministic and not self.is_initializing()
                 and tuple(self.kernel_size) == (3, 3, 3)):
             from ..ops.conv_pallas import conv3x3_fused_pair

@@ -38,7 +38,7 @@ def _use_pallas(impl: str, deterministic: bool, attn_drop: float) -> bool:
     dropout_active = (not deterministic) and attn_drop > 0.0
     if dropout_active:
         return False
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _wap.on_tpu_path()
     if impl == "pallas":
         return on_tpu
     return on_tpu  # auto

@@ -78,9 +78,21 @@ _VMEM_BUDGET = int(_os.environ.get("MIVP_VMEM_BUDGET", 6 * 1024 * 1024))
 # fused/folded model paths, not just the kernels in isolation.
 _FORCE_INTERPRET = False
 
+# Test hook: pretend the trace targets TPU so the kernel paths are taken
+# WITHOUT interpret mode — used by the cross-platform AOT lowering tests
+# (jax.export platforms=["tpu"]), which verify the Pallas→Mosaic dialect
+# lowering of every flagship kernel without a live device.
+_FORCE_TPU_PATH = False
+
 
 def force_interpret() -> bool:
     return _FORCE_INTERPRET
+
+
+def on_tpu_path() -> bool:
+    """True when kernel code paths should be selected at trace time."""
+    import jax
+    return jax.default_backend() == "tpu" or _FORCE_TPU_PATH
 
 
 def _pick_blocks(bp: int, p, num_heads: int, m: int, n: int):

@@ -1,0 +1,78 @@
+"""Cross-platform AOT lowering of the TPU kernel paths.
+
+``jax.export(..., platforms=["tpu"])`` runs the full Pallas→Mosaic
+dialect lowering CLIENT-side (no device, no remote-compile tunnel), so
+these tests catch unsupported-op/layout mistakes in every flagship
+kernel — fused pairs, in-kernel window shift, label masks, in-kernel
+dropout, folded convs — long before a real TPU sees the program.  (The
+Mosaic→LLO backend compile, e.g. scoped-VMEM pressure, still only
+fails on hardware; the bench fallback ladder covers that.)
+
+The kernel code paths are selected at trace time by backend checks;
+``wap._FORCE_TPU_PATH`` makes them fire under the CPU test platform
+WITHOUT interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import export
+
+from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+    window_attention_pallas as wap)
+
+
+def _export_tpu(fn, *args):
+    exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    assert len(exp.mlir_module_serialized) > 0
+    return exp
+
+
+def test_flagship_chunk_forward_lowers_for_tpu(monkeypatch):
+    """The whole production serving forward (bf16 trunk, pair kernels at
+    every stage incl. the fused window shift and label masks, folded
+    convs, parity seg head) lowers for TPU."""
+    from __graft_entry__ import _flagship_conf
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, prefill_bias_cache)
+
+    conf = _flagship_conf(compute_dtype="bfloat16", fold_head_hw=True)
+    model = SwinUnetR(conf)
+    roi = (128, 128, 8)
+    x = jnp.zeros((16, *roi, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1], deterministic=True)
+    variables = prefill_bias_cache(model, variables, roi, 1)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+
+    def fwd(xx):
+        return model.apply(variables, xx, deterministic=True)["downstream"]
+
+    _export_tpu(fwd, x)
+
+
+def test_training_pair_with_dropout_lowers_for_tpu(monkeypatch):
+    """Forward AND custom_vjp backward of a dropout-carrying pair (the
+    canonical training configuration) lower for TPU — covers the
+    counter-hash dropout kernels and the jnp backward."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ConsecutiveSwinBlocks)
+
+    c, heads = 48, 4
+    blk = ConsecutiveSwinBlocks(
+        hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=4, use_token_params=True,
+        window_size=(8, 8, 4), down=False, use_checkpoint=True,
+        attn_drop=0.1, proj_drop=0.1, attn_impl="auto", pad_mode="aligned")
+    x = jnp.zeros((1, 32, 32, 4, c))
+    ps = tuple(jnp.zeros((1, 4, c)) for _ in range(2))
+    params = blk.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, x, ps)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+
+    def loss(pr, xx):
+        out = blk.apply(pr, xx, ps, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    _export_tpu(jax.grad(loss), params, x)
