@@ -48,7 +48,7 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 # "aligned" (default, framework-native) or "reference" (evaluating
 # imported reference checkpoints — pad-ALL-axes quirk, slower).
 PAD_MODE = os.environ.get("BENCH_PAD_MODE", "aligned")
-REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "10"))
 
 
 def _build_run(attn_impl, fold_head_hw):
