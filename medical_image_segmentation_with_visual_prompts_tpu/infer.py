@@ -163,7 +163,12 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
             print(f"FAILED {src}: {err}")
             n_failed += 1
             continue
-        pred = _stitch_labels(runner, roi, vol)
+        try:
+            pred = _stitch_labels(runner, roi, vol)
+        except Exception as e:  # e.g. volume smaller than the roi
+            print(f"FAILED inference {src}: {e}")
+            n_failed += 1
+            continue
         to_write.put((dst, pred))
         n_done += 1
         print(f"{src.name} -> {dst} "

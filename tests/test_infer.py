@@ -103,13 +103,19 @@ def test_serve_volumes_reports_failures(tmp_path):
 
     good = tmp_path / "good.nii.gz"
     bad = tmp_path / "bad.nii.gz"
+    tiny = tmp_path / "tiny.nii.gz"
     save_nifti(str(good), np.zeros((20, 20, 10), np.float32), np.eye(4))
     bad.write_bytes(b"this is not a nifti")
+    # Smaller than the roi: loads fine, fails at inference — must be
+    # counted per-volume, not abort the batch.
+    save_nifti(str(tiny), np.zeros((4, 4, 2), np.float32), np.eye(4))
     out = tmp_path / "out"
     out.mkdir()
     n_done, n_failed = serve_volumes(
         conf, variables,
-        [(good, out / "good_seg.nii.gz"), (bad, out / "bad_seg.nii.gz")])
-    assert n_done == 1 and n_failed == 1
+        [(bad, out / "bad_seg.nii.gz"), (tiny, out / "tiny_seg.nii.gz"),
+         (good, out / "good_seg.nii.gz")])
+    assert n_done == 1 and n_failed == 2
     assert (out / "good_seg.nii.gz").exists()
     assert not (out / "bad_seg.nii.gz").exists()
+    assert not (out / "tiny_seg.nii.gz").exists()
