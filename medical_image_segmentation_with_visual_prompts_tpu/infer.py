@@ -66,8 +66,13 @@ def segment_volume(conf, variables, volume: np.ndarray,
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
     # Bucketed: heterogeneous volume shapes share O(#buckets) programs.
-    runner = BucketedInference(apply_fn, roi, chunk,
-                               conf.output_channels_downstream)
+    # `mesh_data` shards each window chunk across the data mesh — the
+    # same batched sliding-window serving as the trainer test path.
+    from .train.common import DeviceCtx
+    dctx = DeviceCtx(conf)
+    runner = BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
+                               conf.output_channels_downstream,
+                               mesh=dctx.mesh)
     return _stitch_labels(runner, roi, volume)
 
 
@@ -121,8 +126,13 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     def apply_fn(batch):
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
-    runner = BucketedInference(apply_fn, roi, chunk,
-                               conf.output_channels_downstream)
+    # `mesh_data` shards each window chunk across the data mesh (the
+    # stitched volume stays replicated) — multichip batch serving.
+    from .train.common import DeviceCtx
+    dctx = DeviceCtx(conf)
+    runner = BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
+                               conf.output_channels_downstream,
+                               mesh=dctx.mesh)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
     write_errors: List[Tuple[Path, Exception]] = []

@@ -119,3 +119,46 @@ def test_serve_volumes_reports_failures(tmp_path):
     assert (out / "good_seg.nii.gz").exists()
     assert not (out / "bad_seg.nii.gz").exists()
     assert not (out / "tiny_seg.nii.gz").exists()
+
+
+def test_serve_volumes_data_parallel_matches_single_device(tmp_path):
+    """`mesh_data: 8` shards the window chunks across the virtual mesh;
+    the written segmentation is identical to the single-device run."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from argparse import Namespace
+    from medical_image_segmentation_with_visual_prompts_tpu.data import \
+        save_nifti
+    from medical_image_segmentation_with_visual_prompts_tpu.data. \
+        transforms import load_image
+    from medical_image_segmentation_with_visual_prompts_tpu.infer import \
+        serve_volumes
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+
+    with open(ROOT / "configurations" / "tiny_cpu.yml") as f:
+        conf_d = yaml.safe_load(f)
+    conf_d.pop("training_mode", None)
+    conf = Namespace(training_mode="downstream", use_encoder_prompting=True,
+                     use_decoder_prompting=True, **conf_d)
+    model = SwinUnetR(ModelConfig.from_namespace(conf))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 8, 1)), deterministic=True)
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "case.nii.gz"
+    save_nifti(str(src), rng.normal(0.3, 0.2, (24, 24, 10)).astype(
+        np.float32), np.eye(4))
+
+    preds = {}
+    for tag, mesh_n in (("single", 0), ("dp", 8)):
+        conf.mesh_data = mesh_n
+        out = tmp_path / f"out_{tag}"
+        out.mkdir()
+        n_done, n_failed = serve_volumes(
+            conf, variables, [(src, out / "case_seg.nii.gz")])
+        assert (n_done, n_failed) == (1, 0)
+        preds[tag] = load_image(str(out / "case_seg.nii.gz"))
+    np.testing.assert_array_equal(preds["single"], preds["dp"])
