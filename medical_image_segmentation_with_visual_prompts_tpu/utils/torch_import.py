@@ -329,6 +329,9 @@ def load_torch(path) -> Dict[str, np.ndarray]:
 def main():
     import argparse
 
+    from .backend import configure_backend
+    configure_backend()
+
     import jax
 
     import yaml
