@@ -76,3 +76,30 @@ def test_pad_quirk_geometry_matches_reference():
     (_, r, o), = list(pvr.compare(ref_out, our_out, "downstream"))
     scale = max(np.abs(r).max(), 1e-6)
     assert np.abs(r - o).max() / scale < 1e-4
+
+
+def test_export_direction_matches_reference():
+    """EXPORT direction: a random-init framework model exported via
+    utils/torch_export.py and loaded into the LIVE reference model
+    (strict=False) produces the same forward."""
+    import parity_vs_reference as pvr
+    from argparse import Namespace
+    from medical_image_segmentation_with_visual_prompts_tpu.models import \
+        ModelConfig
+    from medical_image_segmentation_with_visual_prompts_tpu.utils. \
+        torch_export import export_state_dict
+
+    for mode in ("downstream", "self_supervised_learning_decoder"):
+        hparams = pvr.build_hparams(
+            str(ROOT / "configurations" / "tiny_cpu.yml"), mode, (16, 16, 8))
+        rng = np.random.default_rng(0)
+        x_np = rng.normal(0.3, 0.2, size=(2, 16, 16, 8, 1)).astype(
+            np.float32)
+        our_out, variables = pvr.ours_forward(hparams, None, x_np)
+        sd = export_state_dict(variables,
+                               ModelConfig.from_namespace(hparams))
+        ref_out = pvr.reference_forward_from_sd(hparams, sd, x_np)
+        for name, r, o in pvr.compare(ref_out, our_out, mode):
+            assert r.shape == o.shape, (mode, name)
+            scale = max(np.abs(r).max(), 1e-6)
+            assert np.abs(r - o).max() / scale < 1e-4, (mode, name)

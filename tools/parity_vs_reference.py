@@ -122,11 +122,8 @@ def build_hparams(configs_path, mode, size):
     return Namespace(**conf)
 
 
-def reference_forward(hparams, x_np, bn_warm_steps=2):
-    """Build the reference model, warm its BN running stats, run eval.
-
-    Returns (state_dict as {key: numpy}, {name: numpy output}).
-    """
+def _build_reference(hparams):
+    """Construct the live reference model (seeded)."""
     install_monai_stub()
     import importlib
 
@@ -141,9 +138,27 @@ def reference_forward(hparams, x_np, bn_warm_steps=2):
         sys.modules["refmodules"] = pkg
     RefSwinUnetR = importlib.import_module(
         "refmodules.swin_unetr").SwinUnetR
-
     torch.manual_seed(0)
-    model = RefSwinUnetR(hparams)
+    return RefSwinUnetR(hparams)
+
+
+def _to_np_tree(v):
+    import torch
+    if isinstance(v, torch.Tensor):
+        return v.detach().numpy()
+    if isinstance(v, list):
+        return [_to_np_tree(e) for e in v]
+    return v
+
+
+def reference_forward(hparams, x_np, bn_warm_steps=2):
+    """Build the reference model, warm its BN running stats, run eval.
+
+    Returns (state_dict as {key: numpy}, {name: numpy output}).
+    """
+    import torch
+
+    model = _build_reference(hparams)
     x = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))).contiguous()
     with torch.no_grad():
         model.train()
@@ -152,19 +167,33 @@ def reference_forward(hparams, x_np, bn_warm_steps=2):
         model.eval()
         out = model(x)
 
-    def to_np(v):
-        if isinstance(v, torch.Tensor):
-            return v.detach().numpy()
-        if isinstance(v, list):
-            return [to_np(e) for e in v]
-        return v
-
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    return sd, {k: to_np(v) for k, v in out.items()}
+    return sd, {k: _to_np_tree(v) for k, v in out.items()}
+
+
+def reference_forward_from_sd(hparams, sd, x_np):
+    """EXPORT direction: load a framework-exported state_dict into the
+    live reference model (strict=False — its derived ``relative_dist_*``
+    buffers are rebuilt at construction) and run the eval forward."""
+    import torch
+
+    model = _build_reference(hparams)
+    tensors = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+    missing, unexpected = model.load_state_dict(tensors, strict=False)
+    assert not unexpected, f"reference rejected exported keys: {unexpected}"
+    underived = [k for k in missing if "relative_dist" not in k]
+    assert not underived, f"export left non-derived keys unset: {underived}"
+    x = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))).contiguous()
+    with torch.no_grad():
+        model.eval()
+        out = model(x)
+    return {k: _to_np_tree(v) for k, v in out.items()}
 
 
 def ours_forward(hparams, state_dict, x_np):
-    """Init our model, import the torch weights, run the forward."""
+    """Init our model, import the torch weights (when given), run the
+    forward.  ``state_dict=None`` keeps the random flax init — the
+    export-direction flow — and returns the variables as the report."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
@@ -180,7 +209,10 @@ def ours_forward(hparams, state_dict, x_np):
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x[:1], deterministic=True)
-    variables, report = import_state_dict(state_dict, variables, conf)
+    if state_dict is None:
+        report = variables
+    else:
+        variables, report = import_state_dict(state_dict, variables, conf)
     out = model.apply(variables, x, deterministic=True)
     return jax.tree_util.tree_map(np.asarray, out), report
 
@@ -218,6 +250,41 @@ def dice_of_argmax(ref, ours):
     inter = float(((a == 1) & (b == 1)).sum())
     tot = float((a == 1).sum() + (b == 1).sum())
     return 1.0 if tot == 0 else 2.0 * inter / tot
+
+
+def run_mode_export(args, mode):
+    """EXPORT direction: random-init our model, export its variables to
+    the reference naming, load them into the live reference model, and
+    compare forwards."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import \
+        ModelConfig
+    from medical_image_segmentation_with_visual_prompts_tpu.utils. \
+        torch_export import export_state_dict
+
+    size = tuple(args.size)
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(0.3, 0.2,
+                      size=(args.batch, *size, 1)).astype(np.float32)
+    hparams = build_hparams(args.configs, mode, size)
+    our_out, variables = ours_forward(hparams, None, x_np)
+    sd = export_state_dict(variables, ModelConfig.from_namespace(hparams))
+    ref_out = reference_forward_from_sd(hparams, sd, x_np)
+    ok = True
+    for name, r, o in compare(ref_out, our_out, mode):
+        r, o = np.asarray(r, np.float64), np.asarray(o, np.float64)
+        if r.shape != o.shape:
+            print(f"[export {mode}] {name}: SHAPE {r.shape} vs {o.shape}")
+            ok = False
+            continue
+        err = np.abs(r - o).max()
+        scale = max(np.abs(r).max(), 1e-6)
+        good = err / scale < args.tol
+        print(f"[export {mode}] {name:<20} max|Δ| {err:.3e}  "
+              f"rel {err / scale:.3e}" + ("" if good else "  <-- FAIL"))
+        ok = ok and good
+    print(f"[export {mode}] exported {len(sd)} tensors into the live "
+          "reference (strict=False: only derived relative_dist_* missing)")
+    return ok
 
 
 def run_mode(args, mode):
@@ -264,8 +331,18 @@ def main():
     ap.add_argument("--modes", nargs="+", default=[
         "downstream", "self_supervised_learning_encoder",
         "self_supervised_learning_decoder"])
+    ap.add_argument("--direction", choices=["import", "export", "both"],
+                    default="both",
+                    help="import: reference weights into our model; "
+                         "export: our weights into the live reference")
     args = ap.parse_args()
-    ok = all([run_mode(args, m) for m in args.modes])
+    results = []
+    for m in args.modes:
+        if args.direction in ("import", "both"):
+            results.append(run_mode(args, m))
+        if args.direction in ("export", "both"):
+            results.append(run_mode_export(args, m))
+    ok = all(results)
     print("PARITY: " + ("PASS" if ok else "FAIL"))
     raise SystemExit(0 if ok else 1)
 
