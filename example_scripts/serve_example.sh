@@ -16,6 +16,17 @@ $PY -m medical_image_segmentation_with_visual_prompts_tpu.infer \
   --use-encoder-prompting --use-decoder-prompting \
   --input "$scans_dir" --output "$output_dir"
 
+# Production watch mode: poll the scans directory and segment new
+# volumes as they arrive — the model and every compiled shape bucket
+# stay warm across polls; restarts are idempotent (existing *_seg
+# outputs are skipped) and half-written uploads are left alone.
+$PY -m medical_image_segmentation_with_visual_prompts_tpu.infer \
+  --configs example_configs.yml \
+  --ckpt "$ckpt" \
+  --use-encoder-prompting --use-decoder-prompting \
+  --input "$scans_dir" --output "$output_dir" \
+  --watch --watch-interval 5
+
 # Data-parallel serving on a v5e-8: set `mesh_data: 8` in the YAML (or
 # a copy of it) — each sliding-window chunk is sharded across the mesh,
 # the stitched volume stays replicated, outputs are bit-identical to

@@ -107,15 +107,12 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
     return pairs
 
 
-def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
-                  chunk: int = 16) -> Tuple[int, int]:
-    """Segment a batch of volumes with pipelined host IO.
+def make_runner(conf, variables, chunk: int = 16) -> BucketedInference:
+    """Build the warm serving runner: model, pre-filled position-bias
+    cache, and the shape-bucketed sliding-window program cache.
 
-    Loader and writer run in their own threads with bounded queues, so
-    NIfTI decode/encode of neighbors overlaps the chip's compute; the
-    bucketed program cache is shared across volumes.  Per-volume load or
-    write failures are reported and counted, never hung on.  Returns
-    ``(n_done, n_failed)``.
+    `mesh_data` shards each window chunk across the data mesh (the
+    stitched volume stays replicated) — multichip batch serving.
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -126,13 +123,28 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     def apply_fn(batch):
         return model.apply(variables, batch, deterministic=True)["downstream"]
 
-    # `mesh_data` shards each window chunk across the data mesh (the
-    # stitched volume stays replicated) — multichip batch serving.
     from .train.common import DeviceCtx
     dctx = DeviceCtx(conf)
-    runner = BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
-                               conf.output_channels_downstream,
-                               mesh=dctx.mesh)
+    return BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
+                             conf.output_channels_downstream,
+                             mesh=dctx.mesh)
+
+
+def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
+                  chunk: int = 16, runner: BucketedInference = None
+                  ) -> Tuple[int, int]:
+    """Segment a batch of volumes with pipelined host IO.
+
+    Loader and writer run in their own threads with bounded queues, so
+    NIfTI decode/encode of neighbors overlaps the chip's compute; the
+    bucketed program cache is shared across volumes.  Per-volume load or
+    write failures are reported and counted, never hung on.  Returns
+    ``(n_done, n_failed)``.  Pass a prebuilt ``runner`` (``make_runner``)
+    to keep compiled programs warm across calls (watch mode).
+    """
+    roi = tuple(conf.roi_size)
+    if runner is None:
+        runner = make_runner(conf, variables, chunk)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
     write_errors: List[Tuple[Path, Exception]] = []
@@ -198,6 +210,55 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     return n_done, n_failed
 
 
+def watch_directory(conf, variables, src: Path, out: Path,
+                    chunk: int = 16, interval: float = 5.0,
+                    min_age: float = 1.0, max_polls: int = None
+                    ) -> Tuple[int, int]:
+    """Production watch mode: poll ``src`` for new NIfTI volumes and
+    segment them as they arrive, keeping the model and the bucketed
+    program cache warm across polls.
+
+    A volume is picked up once its mtime is at least ``min_age`` seconds
+    old (so half-written uploads are left alone) and is never retried:
+    failures are counted once and skipped thereafter.  Existing
+    ``*_seg`` outputs are treated as already served (idempotent
+    restart).  ``max_polls`` bounds the loop (tests); ``None`` runs
+    until interrupted.  Returns cumulative ``(n_done, n_failed)``.
+    """
+    out.mkdir(parents=True, exist_ok=True)
+    runner = make_runner(conf, variables, chunk)
+    seen = set()
+    n_done = 0
+    n_failed = 0
+    polls = 0
+    print(f"watching {src} -> {out} (every {interval:.1f}s)")
+    while max_polls is None or polls < max_polls:
+        if polls:
+            time.sleep(interval)
+        polls += 1
+        now = time.time()
+        fresh = []
+        for p in sorted(src.iterdir()):
+            if not p.name.endswith((".nii", ".nii.gz")) or p in seen:
+                continue
+            try:
+                if now - p.stat().st_mtime < min_age:
+                    continue                 # possibly still uploading
+            except FileNotFoundError:
+                continue                     # vanished between scans
+            (dst,) = [d for _, d in resolve_io([str(p)], str(out))]
+            seen.add(p)
+            if dst.exists():
+                continue                     # served by a previous run
+            fresh.append((p, dst))
+        if fresh:
+            d, f = serve_volumes(conf, variables, fresh, chunk,
+                                 runner=runner)
+            n_done += d
+            n_failed += f
+    return n_done, n_failed
+
+
 def main():
     from .utils.backend import configure_backend
     configure_backend()
@@ -211,6 +272,10 @@ def main():
     parser.add_argument("--use-encoder-prompting", action="store_true")
     parser.add_argument("--use-decoder-prompting", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
+    parser.add_argument("--watch", action="store_true",
+                        help="poll the --input directory and segment new "
+                             "volumes as they arrive (model stays warm)")
+    parser.add_argument("--watch-interval", type=float, default=5.0)
     parser.add_argument("--mode", default="fit")
     parser.add_argument("--training-mode", default="downstream")
     parser.add_argument("--backbone", default="swin_unetr")
@@ -233,6 +298,13 @@ def main():
     variables = restore_like(variables, ckpt["model_state_dict"])
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
+    if args.watch:
+        if len(args.input) != 1 or not Path(args.input[0]).is_dir():
+            raise SystemExit("--watch requires a single --input directory")
+        watch_directory(conf, variables, Path(args.input[0]),
+                        Path(args.output), chunk=args.chunk,
+                        interval=args.watch_interval)
+        return
     pairs = resolve_io(args.input, args.output)
     n_done, n_failed = serve_volumes(conf, variables, pairs,
                                      chunk=args.chunk)

@@ -162,3 +162,67 @@ def test_serve_volumes_data_parallel_matches_single_device(tmp_path):
         assert (n_done, n_failed) == (1, 0)
         preds[tag] = load_image(str(out / "case_seg.nii.gz"))
     np.testing.assert_array_equal(preds["single"], preds["dp"])
+
+
+def test_watch_directory_serves_new_files(tmp_path, monkeypatch):
+    """Watch mode: backlog + files appearing between polls are served
+    with ONE warm runner; existing outputs are skipped (idempotent
+    restart); a corrupt volume is counted once and never retried."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from argparse import Namespace
+    from medical_image_segmentation_with_visual_prompts_tpu import infer
+    from medical_image_segmentation_with_visual_prompts_tpu.data import \
+        save_nifti
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+
+    with open(ROOT / "configurations" / "tiny_cpu.yml") as f:
+        conf_d = yaml.safe_load(f)
+    conf_d.pop("training_mode", None)
+    conf = Namespace(training_mode="downstream", use_encoder_prompting=True,
+                     use_decoder_prompting=True, **conf_d)
+    model = SwinUnetR(ModelConfig.from_namespace(conf))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 8, 1)), deterministic=True)
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def vol():
+        return rng.normal(0.3, 0.2, (20, 20, 10)).astype(np.float32)
+
+    save_nifti(str(src / "a.nii.gz"), vol(), np.eye(4))      # backlog
+    (src / "bad.nii.gz").write_bytes(b"nope")                # fails once
+    save_nifti(str(src / "c.nii.gz"), vol(), np.eye(4))      # pre-served
+    (out / "c_seg.nii.gz").write_bytes(b"existing")
+
+    runners = []
+    real_make = infer.make_runner
+
+    def counting_make(*a, **k):
+        runners.append(real_make(*a, **k))
+        return runners[-1]
+
+    monkeypatch.setattr(infer, "make_runner", counting_make)
+
+    def sleep_and_drop(_):
+        if not (src / "b.nii.gz").exists():   # arrives between polls
+            save_nifti(str(src / "b.nii.gz"), vol(), np.eye(4))
+
+    monkeypatch.setattr(infer.time, "sleep", sleep_and_drop)
+
+    n_done, n_failed = infer.watch_directory(
+        conf, variables, src, out, interval=0.0, min_age=0.0, max_polls=4)
+    assert (n_done, n_failed) == (2, 1)
+    assert (out / "a_seg.nii.gz").exists()
+    assert (out / "b_seg.nii.gz").exists()
+    assert (out / "c_seg.nii.gz").read_bytes() == b"existing"
+    assert not (out / "bad_seg.nii.gz").exists()
+    assert len(runners) == 1                  # one warm runner, all polls
+    assert runners[0].compiled_programs == 1  # same bucket reused
