@@ -159,12 +159,22 @@ def main():
     fold_default = os.environ.get(
         "BENCH_FOLD_HEAD_HW", "1") not in ("0", "false")
     tiers = [
-        # (name, attn_impl, fold_head_hw, extra env)
+        # (name, attn_impl, fold_head_hw, extra env).  The *-mask-dma
+        # tiers swap the in-kernel int32 label masks for materialized
+        # fp32 mask DMA at the SAME kernel level — they catch a Mosaic
+        # backend that rejects the label operands without giving up the
+        # pair/shift kernels (and vice versa).
         ("full", ATTN_IMPL, fold_default, {}),
+        ("mask-dma", ATTN_IMPL, fold_default, {"MIVP_MASK_DMA": "1"}),
         ("no-pair-kernel", ATTN_IMPL, fold_default,
          {"MIVP_NO_PAIR_KERNEL": "1"}),
+        ("no-pair-mask-dma", ATTN_IMPL, fold_default,
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_MASK_DMA": "1"}),
         ("no-kernel-shift", ATTN_IMPL, fold_default,
          {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
+        ("no-shift-mask-dma", ATTN_IMPL, fold_default,
+         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
+          "MIVP_MASK_DMA": "1"}),
         ("no-fold-head", ATTN_IMPL, False,
          {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
         ("no-fused-block", ATTN_IMPL, False,
@@ -186,8 +196,17 @@ def main():
     built = None
     try:
         for name, impl, fold_hw, env in tiers:
-            for k, v in env.items():
-                os.environ[k] = v
+            # The mask-dma tiers make the ladder non-monotone: reset
+            # every knob a tier does NOT set back to its pre-ladder
+            # ambient value (so A/B callers' env knobs still apply),
+            # instead of letting earlier tiers' settings leak forward.
+            for k in knob_keys:
+                if k in env:
+                    os.environ[k] = env[k]
+                elif saved_env[k] is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = saved_env[k]
             try:
                 built = _build_run(impl, fold_hw)
                 tier_name = name

@@ -72,6 +72,18 @@ FOLD_KEY = 1     # unshifted: k_pad = LN1_bias @ Wk, bias carries lse
 FOLD_COUNT = 2   # shifted: k_pad = 0, bias carries ln(n_pad)
 
 
+def _mask_dma() -> bool:
+    """Escape hatch: ``MIVP_MASK_DMA=1`` materializes the label-equality
+    attention mask at trace level and streams ``[g, m, n]`` fp32 blocks
+    into the kernels instead of building the mask in-VMEM from the int32
+    region-label operands — the pre-label-operand formulation, kept as a
+    bench-ladder fallback in case a Mosaic backend rejects the int32
+    ``[g, m, 1]``/``[g, 1, n]`` blocks or their broadcast compare.
+    Numerics are identical (the mask VALUES are the same equality)."""
+    import os
+    return os.environ.get("MIVP_MASK_DMA", "0") not in ("0", "")
+
+
 def _ln(x, scale, bias):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
@@ -120,7 +132,7 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
            scale: float, num_heads: int, group: int, n_tokens: int,
            with_mask: bool, fold_mode: int, n_fold: int,
            head_block: int, attn_drop: float, proj_drop: float,
-           fused_kv: bool):
+           fused_kv: bool, mask_dma: bool = False):
     """One full Swin block body on an in-VMEM fp32 ``[g, m, c]`` tile —
     shared by the single-block kernel and the pair kernel (which runs
     two phases back to back with the window shift rolled in between).
@@ -220,16 +232,24 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         colmask = colmask_ref[:].astype(jnp.bfloat16)     # [h, c]
         colmask32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
-        # The attention mask is pure label EQUALITY: build it in-kernel
-        # from the per-window region labels ([g, m, 1] query rows vs
-        # [g, 1, n] key columns, -1 = always-attendable fold/prompt
-        # column) instead of DMA'ing a [g, m, n] fp32 mask block per
-        # grid step — removes the largest per-step HBM stream of the
-        # masked kernels and its double-buffered VMEM.
-        lq = lq_ref[:]                                    # [g, m, 1] i32
-        lk = lk_ref[:]                                    # [g, 1, n] i32
-        mask = jnp.where((lq == lk) | (lk < 0),
-                         jnp.float32(1), jnp.float32(0))  # [g, m, n]
+        if mask_dma:
+            # MIVP_MASK_DMA fallback: the trace-level materialized
+            # equality mask arrives as a [g, m, n] fp32 block (in the
+            # lq operand slot; lk is a dummy).
+            mask = lq_ref[:].astype(jnp.float32)          # [g, m, n]
+        else:
+            # The attention mask is pure label EQUALITY: build it
+            # in-kernel from the per-window region labels ([g, m, 1]
+            # query rows vs [g, 1, n] key columns, -1 = always-
+            # attendable fold/prompt column) instead of DMA'ing a
+            # [g, m, n] fp32 mask block per grid step — removes the
+            # largest per-step HBM stream of the masked kernels and
+            # its double-buffered VMEM.
+            lq = lq_ref[:]                                # [g, m, 1] i32
+            lk = lk_ref[:]                                # [g, 1, n] i32
+            mask = jnp.where((lq == lk) | (lk < 0),
+                             jnp.float32(1),
+                             jnp.float32(0))              # [g, m, n]
     attn = None
     for h0 in range(0, num_heads, head_block):
         hb = min(head_block, num_heads - h0)
@@ -316,7 +336,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
                   head_block: int, attn_drop: float, proj_drop: float,
-                  fused_kv: bool, shift_plan=None):
+                  fused_kv: bool, shift_plan=None, mask_dma: bool = False):
     g = group
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
@@ -333,7 +353,7 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                  n_tokens=n_tokens, with_mask=with_mask,
                  fold_mode=fold_mode, n_fold=n_fold, head_block=head_block,
                  attn_drop=attn_drop, proj_drop=proj_drop,
-                 fused_kv=fused_kv)
+                 fused_kv=fused_kv, mask_dma=mask_dma)
     out = out.astype(o_ref.dtype)
     if shift_plan is not None:
         # Undo the read roll so the (same-permuted) output write lands
@@ -353,7 +373,7 @@ def _pair_kernel(x_ref,
                  scale: float, num_heads: int, group: int, n_tokens: int,
                  with_mask: bool, fold_modes: tuple, n_fold: int,
                  head_block: int, attn_drop: float, proj_drop: float,
-                 fused_kv: bool, shift_plan=None):
+                 fused_kv: bool, shift_plan=None, mask_dma: bool = False):
     """Both blocks of a Swin pair in ONE kernel.
 
     The cyclic shift is a window-to-window bijection, so one grid step
@@ -368,7 +388,7 @@ def _pair_kernel(x_ref,
     common = dict(scale=scale, num_heads=num_heads, group=g,
                   n_tokens=n_tokens, n_fold=n_fold, head_block=head_block,
                   attn_drop=attn_drop, proj_drop=proj_drop,
-                  fused_kv=fused_kv)
+                  fused_kv=fused_kv, mask_dma=mask_dma)
     # Block 1 runs on SOURCE windows: hash dropout with their indices.
     if shift_plan is not None and any(shift_plan[2]):
         w0_src = _src_w0(shift_plan, g)
@@ -490,7 +510,8 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
                    num_heads: int, with_mask: bool,
                    with_dropout: bool = False,
                    with_shift: bool = False,
-                   with_pair: bool = False) -> int:
+                   with_pair: bool = False,
+                   mask_dma: bool = False) -> int:
     """Estimated peak scoped-VMEM bytes of one fused-block grid step.
 
     Calibrated against measured Mosaic stack OOMs: predicts the
@@ -510,8 +531,9 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     if with_mask:
         # In-kernel label-equality mask: one fp32 [g, m, n] temp
         # (labels themselves are [g, m, 1] + [g, 1, n] — negligible).
-        # Half the old cost of the double-buffered DMA'd mask blocks.
-        est += g * m * n * 4
+        # Half the old cost of the double-buffered DMA'd mask blocks;
+        # the MIVP_MASK_DMA fallback pays that full cost.
+        est += (2 if mask_dma else 1) * g * m * n * 4
     if with_dropout:
         est += 4 * g * hb * m * n * 4   # u32 iota/index temps (keep_mask)
     est += 6 * g * m * c * 4            # fp32 x copies (y, x1, attn, out, MLP)
@@ -531,7 +553,8 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                with_mask: bool, c: int, fused_kv: bool,
                with_dropout: bool = False,
                with_shift: bool = False,
-               with_pair: bool = False) -> tuple:
+               with_pair: bool = False,
+               mask_dma: bool = False) -> tuple:
     """Joint (window group g, head block hb) pick for the fused block.
 
     Prefers the LARGEST g that fits :func:`_vmem_estimate` under the
@@ -554,7 +577,7 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                 continue
             if _vmem_estimate(g, hb, m, n, c, cw, num_heads, with_mask,
                               with_dropout, with_shift,
-                              with_pair) <= _SCOPED_VMEM_SAFE:
+                              with_pair, mask_dma) <= _SCOPED_VMEM_SAFE:
                 if forced_hb and num_heads % forced_hb == 0:
                     hb = forced_hb
                 return g, hb
@@ -639,6 +662,33 @@ def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
     return specs, args
 
 
+def _label_operands(labels, m, n, g, p, mask_dma):
+    """(specs, args) for the two mask operand slots: the int32 label
+    row/column pair in the default in-kernel mode, or (materialized fp32
+    equality mask, dummy) under ``MIVP_MASK_DMA`` — shared by the
+    single-block and pair builders."""
+    dum = pl.BlockSpec((1, 1, 1), lambda idx: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if labels is None:
+        return [dum, dum], [jnp.zeros((1, 1, 1), jnp.int32)] * 2
+    pg = p // g
+    if mask_dma:
+        mask = jnp.where((labels[:, :m, None] == labels[:, None, :])
+                         | (labels[:, None, :] < 0),
+                         jnp.float32(1), jnp.float32(0))     # [p, m, n]
+        return ([pl.BlockSpec((g, m, n), lambda idx: (idx % pg, 0, 0),
+                              memory_space=pltpu.VMEM), dum],
+                [mask, jnp.zeros((1, 1, 1), jnp.int32)])
+    # Per-window region labels, split into query-row ([p, m, 1]) and
+    # key-column ([p, 1, n]) operands so the in-kernel equality
+    # broadcasts along natural (sublane / lane) axes.
+    return ([pl.BlockSpec((g, m, 1), lambda idx: (idx % pg, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
+                          memory_space=pltpu.VMEM)],
+            [labels[:, :m, None], labels[:, None, :]])
+
+
 def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
              interpret=False, shift_geom=None):
@@ -654,9 +704,11 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
     # would DOUBLE the scores pass count at C=96).
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
+    mask_dma = labels is not None and _mask_dma()
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0,
-                       with_shift=shift_geom is not None)
+                       with_shift=shift_geom is not None,
+                       mask_dma=mask_dma)
     # Fused window shift (``shift_geom = (grid, wc, shift)``): the caller
     # passes UNSHIFTED window-major x; the kernel absorbs the cyclic
     # shift (index_map window permutation + in-VMEM token rolls) when
@@ -685,7 +737,8 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
-        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
+        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
+        mask_dma=mask_dma)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
@@ -695,22 +748,9 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
                                           fused_kv, num_heads, m, n, bias)
     in_specs = [x_spec] + blk_specs
     args = [x] + blk_args
-    if labels is not None:
-        pg = p // g
-        # Per-window region labels, split into query-row ([p, m, 1]) and
-        # key-column ([p, 1, n]) operands so the in-kernel equality
-        # broadcasts along natural (sublane / lane) axes.
-        in_specs.append(pl.BlockSpec((g, m, 1), lambda idx: (idx % pg, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(labels[:, :m, None])
-        in_specs.append(pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(labels[:, None, :])
-    else:
-        for shp in ((1, 1, 1), (1, 1, 1)):
-            in_specs.append(pl.BlockSpec(shp, lambda idx: (0, 0, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(jnp.zeros(shp, jnp.int32))
+    lab_specs, lab_args = _label_operands(labels, m, n, g, p, mask_dma)
+    in_specs += lab_specs
+    args += lab_args
     in_specs.append(colmask_spec)
     args.append(jnp.asarray(colmask_np))
     in_specs.append(pl.BlockSpec((1, 2), lambda idx: (0, 0),
@@ -813,7 +853,8 @@ def pair_kernel_available(bp: int, p, num_heads: int, m: int, i: int,
     fused_kv = 2 * c <= 128
     g, _ = _pick_g_hb(bp, p, num_heads, m, n, shift_geom is not None, c,
                       fused_kv, with_dropout=attn_drop > 0.0,
-                      with_shift=shift_geom is not None, with_pair=True)
+                      with_shift=shift_geom is not None, with_pair=True,
+                      mask_dma=shift_geom is not None and _mask_dma())
     if shift_geom is None:
         return True
     from .windows import kernel_shift_plan
@@ -832,9 +873,11 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
     p = labels.shape[0] if labels is not None else None
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
+    mask_dma = labels is not None and _mask_dma()
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0,
-                       with_shift=shift_geom is not None, with_pair=True)
+                       with_shift=shift_geom is not None, with_pair=True,
+                       mask_dma=mask_dma)
     plan = None
     if shift_geom is not None:
         from .windows import kernel_shift_plan
@@ -857,7 +900,8 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
         _pair_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_modes=fold_modes,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
-        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan)
+        proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
+        mask_dma=mask_dma)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
@@ -868,19 +912,9 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
                              num_heads, m, n, bias1)
     in_specs = [x_spec] + s0 + s1
     args = [x] + a0 + a1
-    if labels is not None:
-        pg = p // g
-        in_specs.append(pl.BlockSpec((g, m, 1), lambda idx: (idx % pg, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(labels[:, :m, None])
-        in_specs.append(pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(labels[:, None, :])
-    else:
-        for shp in ((1, 1, 1), (1, 1, 1)):
-            in_specs.append(pl.BlockSpec(shp, lambda idx: (0, 0, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(jnp.zeros(shp, jnp.int32))
+    lab_specs, lab_args = _label_operands(labels, m, n, g, p, mask_dma)
+    in_specs += lab_specs
+    args += lab_args
     in_specs.append(fix(*colmask_np.shape))
     args.append(jnp.asarray(colmask_np))
     in_specs.append(pl.BlockSpec((1, 4), lambda idx: (0, 0),

@@ -123,3 +123,18 @@ def test_pair_kernel_dropout_remat_consistent(monkeypatch):
     grads = jax.grad(f)(params)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pair_kernel_mask_dma_bitwise(monkeypatch):
+    """The MIVP_MASK_DMA mask fallback is bitwise equal to the in-kernel
+    label path through the masked shifted PAIR kernel."""
+    x, ps = _inputs((2, 16, 16, 4, 8))
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_FORCE_G", "2")
+    blk = _pair()
+    params = blk.init(jax.random.PRNGKey(2), x, ps)
+    monkeypatch.delenv("MIVP_MASK_DMA", raising=False)
+    want = blk.apply(params, x, ps)
+    monkeypatch.setenv("MIVP_MASK_DMA", "1")
+    got = blk.apply(params, x, ps)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -382,3 +382,44 @@ def test_fused_block_kernel_no_tokens():
                             bias.reshape(h, m, m), None, scale, h)
     np.testing.assert_allclose(np.asarray(got).reshape(b * p_, m, c),
                                np.asarray(want), rtol=4e-2, atol=4e-2)
+
+
+def test_fused_block_mask_dma_bitwise(monkeypatch):
+    """MIVP_MASK_DMA=1 (materialized [g, m, n] fp32 mask blocks — the
+    bench-ladder fallback for Mosaic backends that reject the int32
+    label operands) is BITWISE equal to the in-kernel label path, both
+    forward and backward, including fold + dropout."""
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+        fused_block as fb)
+    b, p_, m, i, h, dh = 2, 4, 32, 2, 3, 8
+    c = h * dh
+    n_fold = fb.fold_width(m, i)
+    n = m + n_fold + i
+    keys = jax.random.split(jax.random.PRNGKey(21), 16)
+    x = _rand(keys[0], (b, p_, m, c))
+    tokens = _rand(keys[1], (i, c))
+    params = {k: 0.3 * _rand(kk, (c, c)) if k.startswith("w") else
+              0.1 * _rand(kk, (c,))
+              for k, kk in zip(("ln1_scale", "ln1_bias", "wq", "wk", "wv",
+                                "wproj", "bproj", "ln2_scale", "ln2_bias",
+                                "wmlp", "bmlp"), keys[2:13])}
+    bias = _rand(keys[13], (1, 1, h, m, n))
+    labels = jnp.asarray(np.concatenate(
+        [np.asarray(jax.random.randint(keys[14], (p_, m), 0, 3), np.int32),
+         np.full((p_, n - m), -1, np.int32)], axis=-1))
+    seeds = jnp.asarray([3, 7], jnp.uint32)
+    scale = dh ** -0.5
+
+    def run(xx):
+        return fb.fused_swin_block(
+            xx, tokens, params, bias, labels, scale, h,
+            fold_mode=fb.FOLD_COUNT, dropout_seeds=seeds,
+            attn_drop=0.1, proj_drop=0.1, interpret=True)
+
+    loss = lambda xx: jnp.sum(run(xx) ** 2)
+    monkeypatch.delenv("MIVP_MASK_DMA", raising=False)
+    want, g_want = run(x), jax.grad(loss)(x)
+    monkeypatch.setenv("MIVP_MASK_DMA", "1")
+    got, g_got = run(x), jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))

@@ -76,3 +76,24 @@ def test_training_pair_with_dropout_lowers_for_tpu(monkeypatch):
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
     _export_tpu(jax.grad(loss), params, x)
+
+
+def test_mask_dma_fallback_lowers_for_tpu(monkeypatch):
+    """The MIVP_MASK_DMA ladder tier (materialized-mask DMA instead of
+    int32 label operands) also lowers for TPU — it must stay a WORKING
+    fallback, not rot behind the default path."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ConsecutiveSwinBlocks)
+
+    c, heads = 48, 4
+    blk = ConsecutiveSwinBlocks(
+        hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=4, use_token_params=True,
+        window_size=(8, 8, 4), down=False, use_checkpoint=False,
+        attn_drop=0.0, proj_drop=0.0, attn_impl="auto", pad_mode="aligned")
+    x = jnp.zeros((1, 32, 32, 4, c))
+    ps = tuple(jnp.zeros((1, 4, c)) for _ in range(2))
+    params = blk.init(jax.random.PRNGKey(0), x, ps)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+    monkeypatch.setenv("MIVP_MASK_DMA", "1")
+    _export_tpu(lambda xx: blk.apply(params, xx, ps), x)

@@ -35,19 +35,21 @@ run no-pair-kernel MIVP_NO_PAIR_KERNEL=1
 run no-kernel-shift MIVP_NO_PAIR_KERNEL=1 MIVP_NO_KERNEL_SHIFT=1
 # 4. Isolate the parity (subpixel) H/W head fold.
 run no-fold-head BENCH_FOLD_HEAD_HW=0
-# 5. Isolate the in-kernel label masks + fused block (tier = packed kernels).
-run no-fused-block BENCH_TIER=4
-# 6. Chunk-size sweep at the full configuration.
+# 5. Isolate the in-kernel label masks (same kernels, fp32 mask DMA).
+run mask-dma BENCH_TIER=1
+# 6. Isolate the fused block entirely (tier = packed kernels).
+run no-fused-block BENCH_TIER=7
+# 7. Chunk-size sweep at the full configuration.
 for c in 8 16 20 40 80; do
   run "chunk$c" BENCH_CHUNK=$c
 done
 
-# 7. End-to-end serving throughput (NIfTI IO + bucketed inference).
+# 8. End-to-end serving throughput (NIfTI IO + bucketed inference).
 echo "=== serving" | tee -a "$OUT"
 timeout 3000 python tools/bench_serving.py --n 12 2>/dev/null \
   | tail -2 | tee -a "$OUT"
 
-# 8. Training-step times (downstream + phase-2 north-star) with and
+# 9. Training-step times (downstream + phase-2 north-star) with and
 #    without the pair kernel.
 for knob in "" "MIVP_NO_PAIR_KERNEL=1"; do
   echo "=== train-step ${knob:-full}" | tee -a "$OUT"
