@@ -1,0 +1,83 @@
+"""Seeded random geometry sweep: fused kernel path vs XLA reference.
+
+The fused-block route stacks several geometry-dependent gates (fused
+K/V at 2C<=128, pad-fold modes, pair-kernel eligibility, kernel-shift
+plans, the (g, hb) VMEM picker) whose unit tests pin specific shapes.
+This sweep samples geometries from a FIXED seed — spatial dims that are
+and aren't window multiples, varying head counts, channel widths and
+prompt-token counts — and checks the whole ConsecutiveSwinBlocks pair
+against the fp32 XLA path at the suite's bf16 kernel tolerance, so a
+gate combination no hand-written case covers still gets exercised.
+
+Reference behavior under sweep: the pair semantics of
+/root/reference/src/modules/swin_transformer/swin_block.py:145-255
+(window partition, shift, masks, prompt concat/cut) at arbitrary
+volume geometry.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.models import (
+    ConsecutiveSwinBlocks)
+from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+    window_attention_pallas as wap)
+
+N_CASES = 8
+
+
+def _sample_cases():
+    rng = np.random.default_rng(20260818)
+    cases = []
+    while len(cases) < N_CASES:
+        window = tuple(int(v) for v in
+                       rng.choice([(4, 4, 2), (4, 4, 4), (2, 2, 2)]))
+        # Spatial dims: window multiples and non-multiples (padding +
+        # masks + depth fold all reachable); keep volumes tiny so the
+        # interpret-mode kernels stay fast.
+        h = int(rng.choice([8, 12, 16]))
+        w = int(rng.choice([8, 12, 16]))
+        d = int(rng.choice([2, 4, 6]))
+        c = int(rng.choice([8, 16]))
+        heads = int(rng.choice([2, 4]))
+        tokens = int(rng.choice([1, 3, 5]))
+        b = int(rng.choice([1, 2]))
+        case = ((b, h, w, d, c), window, heads, tokens)
+        if case not in cases:
+            cases.append(case)
+    return cases
+
+
+CASES = _sample_cases()
+
+
+def _pair(c, heads, window, tokens, impl):
+    return ConsecutiveSwinBlocks(
+        hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=tokens, use_token_params=True,
+        window_size=window, down=False, attn_impl=impl,
+        pad_mode="aligned")
+
+
+@pytest.mark.parametrize("shape,window,heads,tokens", CASES)
+def test_fused_pair_matches_xla_random_geometry(monkeypatch, shape,
+                                                window, heads, tokens):
+    b, c = shape[0], shape[-1]
+    x = jax.random.normal(jax.random.PRNGKey(hash(shape) % 2**31), shape)
+    ps = tuple(
+        jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, tokens, c)),
+            (b, tokens, c))
+        for i in range(2))
+
+    ref = _pair(c, heads, window, tokens, "xla")
+    params = ref.init(jax.random.PRNGKey(2), x, ps)
+    want = ref.apply(params, x, ps)
+
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    got = _pair(c, heads, window, tokens, "auto").apply(params, x, ps)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
