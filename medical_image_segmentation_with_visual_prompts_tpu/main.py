@@ -69,7 +69,12 @@ def build_parser() -> ArgumentParser:
     return parser
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``mivp-train``)."""
     args = build_parser().parse_args()
     configs = get_full_configs(args)
     main(args.mode, configs)
+
+
+if __name__ == "__main__":
+    cli()
