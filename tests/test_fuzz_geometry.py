@@ -61,6 +61,54 @@ def _pair(c, heads, window, tokens, impl):
         pad_mode="aligned")
 
 
+@pytest.mark.parametrize("shape,window,heads,tokens", CASES[:4])
+def test_fused_pair_grads_match_xla_random_geometry(monkeypatch, shape,
+                                                    window, heads, tokens):
+    """custom_vjp backward at random gate combinations.
+
+    The fused path's backward differentiates the jnp reference at the
+    kernel's primals, so grads must track the XLA path within the bf16
+    forward tolerance — at geometries (pad-fold, shift plan, pair
+    eligibility) the hand-written vjp tests don't enumerate.
+    """
+    b, c = shape[0], shape[-1]
+    x = jax.random.normal(jax.random.PRNGKey(hash(shape) % 2**31), shape)
+    ps = tuple(
+        jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, tokens, c)),
+            (b, tokens, c))
+        for i in range(2))
+
+    ref = _pair(c, heads, window, tokens, "xla")
+    params = ref.init(jax.random.PRNGKey(2), x, ps)
+
+    def loss(impl):
+        mod = _pair(c, heads, window, tokens, impl)
+
+        def f(p, xx, pp):
+            out = mod.apply(p, xx, pp)
+            return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+        return f
+
+    want = jax.grad(loss("xla"), argnums=(0, 1))(params, x, ps)
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    got = jax.grad(loss("auto"), argnums=(0, 1))(params, x, ps)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    assert len(flat_w) == len(flat_g)
+    # Per-leaf relative-L2: elementwise comparison is dominated by the
+    # bf16 forward noise on near-cancelling grad entries; a direction
+    # error (wrong vjp) shows up as a large relative norm instead.
+    for gw, gg in zip(flat_w, flat_g):
+        gw = np.asarray(gw, np.float64)
+        gg = np.asarray(gg, np.float64)
+        assert np.isfinite(gg).all()
+        err = np.linalg.norm(gg - gw)
+        assert err <= 5e-2 * (np.linalg.norm(gw) + 1e-3), (
+            f"rel-L2 {err / (np.linalg.norm(gw) + 1e-12):.4f}")
+
+
 @pytest.mark.parametrize("shape,window,heads,tokens", CASES)
 def test_fused_pair_matches_xla_random_geometry(monkeypatch, shape,
                                                 window, heads, tokens):

@@ -97,3 +97,32 @@ def test_mask_dma_fallback_lowers_for_tpu(monkeypatch):
     monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
     monkeypatch.setenv("MIVP_MASK_DMA", "1")
     _export_tpu(lambda xx: blk.apply(params, xx, ps), x)
+
+
+def test_flagship_train_grad_lowers_for_tpu(monkeypatch):
+    """Full-model gradient at the CANONICAL training config (attn/proj
+    dropout 0.1, remat on) lowers for TPU — covers the dropout-carrying
+    kernels at the stage-1/2 geometries (C=96/192, head-chunked) that
+    the single-pair test above does not reach, the exact territory of
+    the round-2 VMEM-picker OOMs."""
+    from __graft_entry__ import _flagship_conf
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR)
+
+    conf = _flagship_conf(attn_drop=0.1, proj_drop=0.1,
+                          use_checkpoint=True)
+    model = SwinUnetR(conf)
+    x = jnp.zeros((1, 128, 128, 8, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+
+    def loss(params, xx):
+        out, _ = model.apply(
+            {**variables, "params": params}, xx, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        return jnp.sum(out["downstream"].astype(jnp.float32) ** 2)
+
+    _export_tpu(jax.grad(loss), variables["params"], x)
