@@ -1,0 +1,95 @@
+"""End-to-end composition of the bench tier-0 pipeline (interpret mode).
+
+Component suites pin each kernel feature in isolation; this test runs
+the EXACT serving composition bench.py's full tier uses — gaussian
+sliding-window scan + host-precomputed blend weights + bias cache +
+fused pair kernels (in-kernel shift + label masks) + parity seg head —
+on a miniature flagship geometry and checks the stitched logits against
+the pure-XLA tier (bench tier 8).  A bug that only appears when the
+pieces compose (wrong wacc threading, cache/gate interaction, pair
+eligibility inside the scan) fails here and nowhere else.
+
+Mirrors bench.py::_build_run; serving protocol of reference
+segmentation.py:229-266 (device-side, stitched).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_segmentation_with_visual_prompts_tpu.models import (
+    ModelConfig, SwinUnetR, prefill_bias_cache)
+from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+    window_attention_pallas as wap)
+from medical_image_segmentation_with_visual_prompts_tpu.parallel import (
+    gaussian_weight_acc, make_sliding_window_fn, pad_starts, window_starts)
+
+ROI = (32, 32, 8)
+VOLUME = (48, 48, 12)   # 2*2*2 = 8 windows at stride roi/2
+CHUNK = 4
+
+
+def _conf(attn_impl, fold_head_hw):
+    return ModelConfig(
+        training_mode="downstream", input_channels=1, depth_unet=3,
+        hidden_channels=(8, 16, 32, 64), input_patch_size=(2, 2, 2),
+        unetr_res_block="none", unetr_up_block="swin",
+        num_heads_encoder=2, num_heads_decoder=2,
+        attn_window_size=(4, 4, 2), pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt_encoder=4,
+        tokens_per_prompt_decoder=4, use_encoder_prompting=True,
+        use_decoder_prompting=True, output_channels_downstream=2,
+        attn_impl=attn_impl, pad_mode="aligned",
+        compute_dtype="float32", fold_head_hw=fold_head_hw)
+
+
+def _stitched(conf, variables, vol_np):
+    model = SwinUnetR(conf)
+    variables = prefill_bias_cache(model, variables, ROI,
+                                   conf.input_channels)
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, deterministic=True)["downstream"]
+
+    slices, starts, grid_shape = window_starts(VOLUME, ROI)
+    run = make_sliding_window_fn(apply_fn, ROI, CHUNK,
+                                 conf.output_channels_downstream,
+                                 mode="gaussian", grid_shape=grid_shape)
+    v = vol_np[slices[0], slices[1], slices[2]]
+    starts_p, n_valid = pad_starts(starts, CHUNK)
+    wacc = jnp.asarray(gaussian_weight_acc(starts_p, n_valid, ROI,
+                                           v.shape[:3]))
+    out = run(jnp.asarray(v), jnp.asarray(starts_p), n_valid, wacc)
+    return np.asarray(out)
+
+
+def test_full_tier_composition_matches_xla(monkeypatch):
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0.3, 0.2, size=(*VOLUME, 1)).astype(np.float32)
+
+    ref_conf = _conf("xla", fold_head_hw=False)
+    model = SwinUnetR(ref_conf)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, *ROI, 1)), deterministic=True)
+
+    want = _stitched(ref_conf, variables, vol)
+    assert np.isfinite(want).all()
+
+    # Full tier: fused pair kernels (in-kernel shift + label masks) +
+    # parity head, kernels in interpret mode; defaults = all gates on.
+    for gate in ("MIVP_NO_PAIR_KERNEL", "MIVP_NO_KERNEL_SHIFT",
+                 "MIVP_NO_FUSED_BLOCK", "MIVP_MASK_DMA"):
+        monkeypatch.delenv(gate, raising=False)
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    got = _stitched(_conf("auto", fold_head_hw=True), variables, vol)
+
+    assert got.shape == want.shape
+    # bf16 MXU casts inside the kernels; stitching averages (never
+    # amplifies) the per-window error.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    # The served product is the label map: demand exact agreement on
+    # all but a sliver of decision-boundary voxels.
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.995, f"label agreement {agree:.4f}"
