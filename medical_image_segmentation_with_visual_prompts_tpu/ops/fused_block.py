@@ -105,22 +105,33 @@ def _token_rolls(x, plan, g: int, read: bool):
     p1, p2, p3 = grid
     fw = (pl.program_id(0) * g) % (p1 * p2 * p3)
     coords = (fw // (p2 * p3), (fw // p3) % p2, fw % p3)
+
+    def roll(y, amt, axis):
+        # Mosaic's DYNAMIC rotate only supports 32-bit lanes ("Rotate
+        # with non-32-bit data" — TPU-backend-only failure, invisible to
+        # client-side lowering).  Static amounts lower to tpu.rotate and
+        # are fine at any dtype; traced amounts on a sub-32-bit tile
+        # roll an fp32 view (exact for bf16: the roundtrip is identity).
+        if isinstance(amt, int) or y.dtype.itemsize == 4:
+            return pltpu.roll(y, amt, axis)
+        return pltpu.roll(y.astype(jnp.float32), amt, axis).astype(y.dtype)
+
     for ax in (0, 1):
         s0, q0, p = s0s[ax], q0s[ax], grid[ax]
         if s0 == 0 and q0 == 0:
             continue
         if s0:
             amt = q0 + (coords[ax] >= p - s0).astype(jnp.int32)
+            tshift = ((-amt if read else amt)) % wc[ax]
         else:
-            amt = q0  # static
-        tshift = ((-amt if read else amt)) % wc[ax]
+            tshift = ((-q0 if read else q0)) % wc[ax]  # static python int
         if ax == 0:
             # th roll = flat roll on the token axis in (ww*wd) strides.
-            x = pltpu.roll(x, tshift * (wc[1] * wc[2]), 1)
+            x = roll(x, tshift * (wc[1] * wc[2]), 1)
         else:
             # tw roll: blocked view [g, wh, ww*wd, c], roll axis 2.
             x4 = x.reshape(x.shape[0], wc[0], wc[1] * wc[2], x.shape[2])
-            x4 = pltpu.roll(x4, tshift * wc[2], 2)
+            x4 = roll(x4, tshift * wc[2], 2)
             x = x4.reshape(x.shape)
     return x
 
