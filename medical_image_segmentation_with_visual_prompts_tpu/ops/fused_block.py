@@ -106,33 +106,47 @@ def _token_rolls(x, plan, g: int, read: bool):
     fw = (pl.program_id(0) * g) % (p1 * p2 * p3)
     coords = (fw // (p2 * p3), (fw // p3) % p2, fw % p3)
 
+    def tsh(q, ax):
+        return ((-q if read else q)) % wc[ax]  # static python int
+
     def roll(y, amt, axis):
-        # Mosaic's DYNAMIC rotate only supports 32-bit lanes ("Rotate
-        # with non-32-bit data" — TPU-backend-only failure, invisible to
-        # client-side lowering).  Static amounts lower to tpu.rotate and
-        # are fine at any dtype; traced amounts on a sub-32-bit tile
-        # roll an fp32 view (exact for bf16: the roundtrip is identity).
-        if isinstance(amt, int) or y.dtype.itemsize == 4:
-            return pltpu.roll(y, amt, axis)
-        return pltpu.roll(y.astype(jnp.float32), amt, axis).astype(y.dtype)
+        if amt == 0:
+            return y
+        return pltpu.roll(y, amt, axis)
 
     for ax in (0, 1):
         s0, q0, p = s0s[ax], q0s[ax], grid[ax]
         if s0 == 0 and q0 == 0:
             continue
-        if s0:
-            amt = q0 + (coords[ax] >= p - s0).astype(jnp.int32)
-            tshift = ((-amt if read else amt)) % wc[ax]
-        else:
-            tshift = ((-q0 if read else q0)) % wc[ax]  # static python int
+        # The borrowed roll amount is BINARY (q0 or q0+1, block-uniform),
+        # so the dynamic case is two STATIC rotates + a select — Mosaic's
+        # dynamic_rotate only supports 32-bit lanes ("Rotate with
+        # non-32-bit data", a TPU-backend-only failure invisible to
+        # client-side lowering; fp32 round-tripping the roll gets
+        # canonicalized back to the bf16 rotate), while static amounts
+        # lower to plain tpu.rotate at any dtype.
         if ax == 0:
-            # th roll = flat roll on the token axis in (ww*wd) strides.
-            x = roll(x, tshift * (wc[1] * wc[2]), 1)
+            view = lambda y: y                       # [g, m, c], roll axis 1
+            stride, axis = wc[1] * wc[2], 1
         else:
-            # tw roll: blocked view [g, wh, ww*wd, c], roll axis 2.
-            x4 = x.reshape(x.shape[0], wc[0], wc[1] * wc[2], x.shape[2])
-            x4 = roll(x4, tshift * wc[2], 2)
-            x = x4.reshape(x.shape)
+            def view(y):                             # [g, wh, ww*wd, c]
+                return y.reshape(y.shape[0], wc[0], wc[1] * wc[2],
+                                 y.shape[2])
+            stride, axis = wc[2], 2
+        xv = view(x)
+        if s0:
+            t0, t1 = tsh(q0, ax), tsh(q0 + 1, ax)
+            if t0 == t1:
+                x = roll(xv, t0 * stride, axis).reshape(x.shape)
+            else:
+                borrow = coords[ax] >= p - s0        # traced bool scalar
+                # select on the 3-D shape (Mosaic dislikes >3-D
+                # broadcasts in kernels)
+                x = jnp.where(borrow,
+                              roll(xv, t1 * stride, axis).reshape(x.shape),
+                              roll(xv, t0 * stride, axis).reshape(x.shape))
+        else:
+            x = roll(xv, tsh(q0, ax) * stride, axis).reshape(x.shape)
     return x
 
 
