@@ -118,13 +118,18 @@ def _token_rolls(x, plan, g: int, read: bool):
         s0, q0, p = s0s[ax], q0s[ax], grid[ax]
         if s0 == 0 and q0 == 0:
             continue
-        # The borrowed roll amount is BINARY (q0 or q0+1, block-uniform),
-        # so the dynamic case is two STATIC rotates + a select — Mosaic's
-        # dynamic_rotate only supports 32-bit lanes ("Rotate with
-        # non-32-bit data", a TPU-backend-only failure invisible to
-        # client-side lowering; fp32 round-tripping the roll gets
-        # canonicalized back to the bf16 rotate), while static amounts
-        # lower to plain tpu.rotate at any dtype.
+        # The borrowed roll amount is BINARY (q0 or q0+1, block-uniform).
+        # Mosaic's dynamic_rotate only supports 32-bit lanes ("Rotate
+        # with non-32-bit data", a TPU-backend-only failure invisible to
+        # client-side lowering), and its canonicalizer folds BOTH an
+        # fp32-round-tripped dynamic roll AND a select-of-two-static-
+        # rotates back into the bf16 dynamic_rotate.  Two structural
+        # defenses: callers pass the fp32 WORKING tile (rolls commute
+        # with the dtype casts, so numerics are unchanged, and a worst-
+        # case re-folded dynamic_rotate is 32-bit = supported), and the
+        # binary case is a multiplicative BLEND of the two static
+        # rotates (w ∈ {0, 1} exactly → r1*w + r0*(1-w) is bit-exact,
+        # and mul/add arithmetic has no select to fold).
         if ax == 0:
             view = lambda y: y                       # [g, m, c], roll axis 1
             stride, axis = wc[1] * wc[2], 1
@@ -140,11 +145,10 @@ def _token_rolls(x, plan, g: int, read: bool):
                 x = roll(xv, t0 * stride, axis).reshape(x.shape)
             else:
                 borrow = coords[ax] >= p - s0        # traced bool scalar
-                # select on the 3-D shape (Mosaic dislikes >3-D
-                # broadcasts in kernels)
-                x = jnp.where(borrow,
-                              roll(xv, t1 * stride, axis).reshape(x.shape),
-                              roll(xv, t0 * stride, axis).reshape(x.shape))
+                w = borrow.astype(x.dtype)           # exactly 0.0 or 1.0
+                x = (roll(xv, t1 * stride, axis).reshape(x.shape) * w
+                     + roll(xv, t0 * stride, axis).reshape(x.shape)
+                     * (jnp.asarray(1, x.dtype) - w))
         else:
             x = roll(xv, tsh(q0, ax) * stride, axis).reshape(x.shape)
     return x
@@ -365,12 +369,14 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     g = group
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
-    x = x_ref[:]                                          # [g, m, c]
+    # fp32 from the start: the token rolls must run on the 32-bit
+    # working tile (see _token_rolls) and _phase wants fp32 anyway.
+    x = x_ref[:].astype(jnp.float32)                      # [g, m, c]
     if shift_plan is not None:
         # Fused window shift: the block DMA'd the (index_map-permuted)
         # source windows; assemble the shifted windows by token roll.
         x = _token_rolls(x, shift_plan, g, read=True)
-    out = _phase(x.astype(jnp.float32), ktok_ref, vtok_ref, ln1s_ref,
+    out = _phase(x, ktok_ref, vtok_ref, ln1s_ref,
                  ln1b_ref, wq_ref, wkv_ref, wp_ref, bp_ref, ln2s_ref,
                  ln2b_ref, wm_ref, bm_ref, bias_ref, lq_ref, lk_ref,
                  colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0,
@@ -379,12 +385,12 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                  fold_mode=fold_mode, n_fold=n_fold, head_block=head_block,
                  attn_drop=attn_drop, proj_drop=proj_drop,
                  fused_kv=fused_kv, mask_dma=mask_dma)
-    out = out.astype(o_ref.dtype)
     if shift_plan is not None:
         # Undo the read roll so the (same-permuted) output write lands
-        # the block back in unshifted window-major order.
+        # the block back in unshifted window-major order.  Roll while
+        # still fp32 (permutation commutes with the cast below).
         out = _token_rolls(out, shift_plan, g, read=False)
-    o_ref[:] = out
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _pair_kernel(x_ref,
@@ -426,21 +432,23 @@ def _pair_kernel(x_ref,
                 colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0_src,
                 with_mask=False, fold_mode=fold_modes[0], **common)
     # Round to the array dtype exactly as the two-kernel path does at
-    # its HBM boundary — keeps the pair kernel BITWISE equal to it.
-    x1 = x1.astype(x_ref.dtype)
+    # its HBM boundary — keeps the pair kernel BITWISE equal to it —
+    # but keep the tile fp32 so the token rolls stay 32-bit
+    # (see _token_rolls; the round-trip preserves the bf16 values).
+    x1 = x1.astype(x_ref.dtype).astype(jnp.float32)
     if shift_plan is not None:
         x1 = _token_rolls(x1, shift_plan, g, read=True)
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
-    x2 = _phase(x1.astype(jnp.float32), ktok1_ref, vtok1_ref, ln1s1_ref,
+    x2 = _phase(x1, ktok1_ref, vtok1_ref, ln1s1_ref,
                 ln1b1_ref, wq1_ref,
                 wkv1_ref, wp1_ref, bp1_ref, ln2s1_ref, ln2b1_ref, wm1_ref,
                 bm1_ref, bias1_ref, lq_ref, lk_ref, colmask_ref,
                 seed_ref[0, 2], seed_ref[0, 3], w0,
                 with_mask=with_mask, fold_mode=fold_modes[1], **common)
-    out = x2.astype(o_ref.dtype)
     if shift_plan is not None:
-        out = _token_rolls(out, shift_plan, g, read=False)
-    o_ref[:] = out
+        # Inverse roll while still fp32 (commutes with the cast below).
+        x2 = _token_rolls(x2, shift_plan, g, read=False)
+    o_ref[:] = x2.astype(o_ref.dtype)
 
 
 def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
@@ -566,7 +574,9 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     est += 3 * g * (m + n) * cw * 2     # q/k/v bf16 (token concat incl.)
     est += g * hb * m * cw * 4          # o_full
     if with_shift:
-        est += 2 * g * m * c * 4        # in-kernel token-roll copies
+        # Borrow blend materializes BOTH static-rotate copies plus the
+        # blended output, all at the fp32 working width.
+        est += 3 * g * m * c * 4
     if with_pair:
         # Pair kernel: phase-1 output tile stays alive into phase 2,
         # plus the second set of double-buffered weight/bias blocks.
