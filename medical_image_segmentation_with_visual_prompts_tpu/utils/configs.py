@@ -30,11 +30,16 @@ import yaml
 
 # Default directories live next to the package, mirroring the reference's
 # repo-root `configurations/`, `checkpoints/`, `logs/` layout
-# (reference configs.py:7-9).
+# (reference configs.py:7-9).  MIVP_CKPT_DIR / MIVP_LOG_DIR relocate the
+# write roots (sandboxed CI runs of the example workflow scripts).
+import os as _os
+
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 DEFAULT_CONFIG_DIR = _REPO_ROOT / "configurations"
-DEFAULT_CKPT_DIR = _REPO_ROOT / "checkpoints"
-DEFAULT_ROOT_LOG_DIR = _REPO_ROOT / "logs"
+DEFAULT_CKPT_DIR = Path(_os.environ.get("MIVP_CKPT_DIR",
+                                        _REPO_ROOT / "checkpoints"))
+DEFAULT_ROOT_LOG_DIR = Path(_os.environ.get("MIVP_LOG_DIR",
+                                            _REPO_ROOT / "logs"))
 
 
 def _resolve_existing(path_str: str, default_dir: Path) -> Path:

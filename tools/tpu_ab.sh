@@ -9,6 +9,11 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_ab.log}
 : > "$OUT"
+# Per-run scratch files suffixed with $$ so concurrent sessions
+# can't clobber each other's A/B outputs.
+LINE=/tmp/ab_line.$$.json
+ERR=/tmp/ab_err.$$.log
+trap 'rm -f "$LINE" "$ERR"' EXIT
 # The caller (watchdog) already proved the tunnel is up; skip the
 # per-run preflight probe and its slow remote backend init.
 export BENCH_PREFLIGHT_TIMEOUT=0
@@ -17,13 +22,13 @@ run() {
   local name="$1"; shift
   echo "=== $name ($*)" | tee -a "$OUT"
   local t0=$(date +%s)
-  env "$@" timeout 3000 python bench.py >/tmp/ab_line.json 2>/tmp/ab_err.log
+  env "$@" timeout 3000 python bench.py >"$LINE" 2>"$ERR"
   local rc=$?
   local t1=$(date +%s)
   echo "rc=$rc elapsed=$((t1-t0))s" | tee -a "$OUT"
-  cat /tmp/ab_line.json | tee -a "$OUT"
-  grep -h '"detail"' /tmp/ab_err.log | tail -1 | tee -a "$OUT"
-  grep -hE "tier .* failed|FALLBACK" /tmp/ab_err.log | tee -a "$OUT"
+  cat "$LINE" | tee -a "$OUT"
+  grep -h '"detail"' "$ERR" | tail -1 | tee -a "$OUT"
+  grep -hE "tier .* failed|FALLBACK" "$ERR" | tee -a "$OUT"
 }
 
 # 1. Full configuration (everything on) — the round-end driver setting.

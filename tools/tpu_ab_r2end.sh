@@ -10,19 +10,24 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_ab_r2end.log}
 : > "$OUT"
+# Per-run scratch files suffixed with $$ so concurrent sessions
+# can't clobber each other's A/B outputs.
+LINE=/tmp/ab_line.$$.json
+ERR=/tmp/ab_err.$$.log
+trap 'rm -f "$LINE" "$ERR"' EXIT
 export BENCH_PREFLIGHT_TIMEOUT=0
 
 run() {
   local name="$1"; shift
   echo "=== $name ($*)" | tee -a "$OUT"
   local t0=$(date +%s)
-  env "$@" timeout 2400 python bench.py >/tmp/ab_line.json 2>/tmp/ab_err.log
+  env "$@" timeout 2400 python bench.py >"$LINE" 2>"$ERR"
   local rc=$?
   local t1=$(date +%s)
   echo "rc=$rc elapsed=$((t1-t0))s" | tee -a "$OUT"
-  cat /tmp/ab_line.json | tee -a "$OUT"
-  grep -h '"detail"' /tmp/ab_err.log | tail -1 | tee -a "$OUT"
-  grep -hE "tier .* failed|FALLBACK" /tmp/ab_err.log | tee -a "$OUT"
+  cat "$LINE" | tee -a "$OUT"
+  grep -h '"detail"' "$ERR" | tail -1 | tee -a "$OUT"
+  grep -hE "tier .* failed|FALLBACK" "$ERR" | tee -a "$OUT"
 }
 
 run full
