@@ -126,3 +126,46 @@ def test_flagship_train_grad_lowers_for_tpu(monkeypatch):
         return jnp.sum(out["downstream"].astype(jnp.float32) ** 2)
 
     _export_tpu(jax.grad(loss), variables["params"], x)
+
+
+def test_rank8_dilated_window_blockspec_lowers_for_tpu():
+    """The BlockSpec-driven dilated-window DMA layout (PERF.md round-3
+    design note) lowers for TPU: an 8-D view [B, th, p1, tw, p2, td,
+    p3, C] of the feature map with one [1, th, 1, tw, 1, td, 1, C]
+    block per window — the pipeline DMA performs the dilated gather
+    that window_partition does at trace level today.  Client-side
+    viability gate for the g=1 kernel-layout experiment."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, TH, P1, TW, P2, TD, P3, C = 2, 8, 8, 8, 8, 4, 1, 48
+    M = TH * TW * TD
+
+    def kernel(x_ref, w_ref, o_ref):
+        x = x_ref[0, :, 0, :, 0, :, 0, :].reshape(M, C).astype(jnp.float32)
+        w = w_ref[:].astype(jnp.float32)
+        y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, 0, :, 0, :, 0, :] = \
+            y.reshape(TH, TW, TD, C).astype(o_ref.dtype)
+
+    def run(x, w):
+        x8 = x.reshape(B, TH, P1, TW, P2, TD, P3, C)
+        idx = lambda b, w1, w2, w3: (b, 0, w1, 0, w2, 0, w3, 0)
+        spec = pl.BlockSpec((1, TH, 1, TW, 1, TD, 1, C), idx,
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, P1, P2, P3),
+            in_specs=[spec, pl.BlockSpec((C, C), lambda *a: (0, 0),
+                                         memory_space=pltpu.VMEM)],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(x8.shape, x.dtype),
+        )(x8, w)
+        return out.reshape(x.shape)
+
+    x = jnp.zeros((B, TH * P1, TW * P2, TD * P3, C), jnp.bfloat16)
+    w = jnp.zeros((C, C), jnp.bfloat16)
+    _export_tpu(run, x, w)
