@@ -196,32 +196,28 @@ def main():
     # the next tier instead of crashing the bench.  BENCH_TIER=n forces
     # a tier for A/B runs.
     fold_default = os.environ.get(
-        "BENCH_FOLD_HEAD_HW", "1") not in ("0", "false")
+        "BENCH_FOLD_HEAD_HW", "0") not in ("0", "false")
     tiers = [
-        # (name, attn_impl, fold_head_hw, extra env).  The *-mask-dma
-        # tiers swap the in-kernel int32 label masks for materialized
-        # fp32 mask DMA at the SAME kernel level — they catch a Mosaic
-        # backend that rejects the label operands without giving up the
-        # pair/shift kernels (and vice versa).
+        # (name, attn_impl, fold_head_hw, extra env).  Tier 0 IS the
+        # round-3 device-measured winner (fused block + in-kernel
+        # window shift, mask-DMA label masks, pair kernel off, head
+        # H/W fold off — /tmp A/B log recorded in docs/PERF.md): 13.51
+        # vol/s.  Each later tier is strictly more conservative; the
+        # in-kernel-mask tiers swap the materialized fp32 mask DMA for
+        # int32 label operands at the SAME kernel level — they catch a
+        # Mosaic backend that rejects the mask blocks without giving
+        # up the shift kernel (and vice versa).
         ("full", ATTN_IMPL, fold_default, {}),
-        ("mask-dma", ATTN_IMPL, fold_default, {"MIVP_MASK_DMA": "1"}),
-        ("no-pair-kernel", ATTN_IMPL, fold_default,
-         {"MIVP_NO_PAIR_KERNEL": "1"}),
-        ("no-pair-mask-dma", ATTN_IMPL, fold_default,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_MASK_DMA": "1"}),
+        ("in-kernel-mask", ATTN_IMPL, fold_default,
+         {"MIVP_MASK_DMA": "0"}),
         ("no-kernel-shift", ATTN_IMPL, fold_default,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
-        ("no-shift-mask-dma", ATTN_IMPL, fold_default,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
-          "MIVP_MASK_DMA": "1"}),
-        ("no-fold-head", ATTN_IMPL, False,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1"}),
+         {"MIVP_NO_KERNEL_SHIFT": "1"}),
+        ("no-shift-in-kernel-mask", ATTN_IMPL, fold_default,
+         {"MIVP_NO_KERNEL_SHIFT": "1", "MIVP_MASK_DMA": "0"}),
         ("no-fused-block", ATTN_IMPL, False,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
-          "MIVP_NO_FUSED_BLOCK": "1"}),
+         {"MIVP_NO_KERNEL_SHIFT": "1", "MIVP_NO_FUSED_BLOCK": "1"}),
         ("xla", "xla", False,
-         {"MIVP_NO_PAIR_KERNEL": "1", "MIVP_NO_KERNEL_SHIFT": "1",
-          "MIVP_NO_FUSED_BLOCK": "1"}),
+         {"MIVP_NO_KERNEL_SHIFT": "1", "MIVP_NO_FUSED_BLOCK": "1"}),
     ]
     forced = os.environ.get("BENCH_TIER")
     if forced is not None:

@@ -103,8 +103,13 @@ class ModelConfig:
     # the head as a parity/subpixel decomposition (exact incl. borders;
     # ops/conv_fold.py::conv3d_parity_upsampled) — the tap einsum runs
     # at low H/W resolution and the full-resolution upsample einsums
-    # never materialize.  Requires fold_head_depth.
-    fold_head_hw: bool = True
+    # never materialize.  Requires fold_head_depth.  Default OFF since
+    # round 3: device A/B measured the parity fold a ~10 ms/volume
+    # REGRESSION on the real chip (12.94 vs 11.50 vol/s at otherwise-
+    # equal gates) — the 4-way subpixel tap einsums lower to worse
+    # layouts than the plain upsample-then-head chain XLA fuses itself.
+    # Kept for ablations and smaller-head geometries.
+    fold_head_hw: bool = False
 
     @property
     def dtype(self):

@@ -73,15 +73,20 @@ FOLD_COUNT = 2   # shifted: k_pad = 0, bias carries ln(n_pad)
 
 
 def _mask_dma() -> bool:
-    """Escape hatch: ``MIVP_MASK_DMA=1`` materializes the label-equality
-    attention mask at trace level and streams ``[g, m, n]`` fp32 blocks
-    into the kernels instead of building the mask in-VMEM from the int32
-    region-label operands — the pre-label-operand formulation, kept as a
-    bench-ladder fallback in case a Mosaic backend rejects the int32
-    ``[g, m, 1]``/``[g, 1, n]`` blocks or their broadcast compare.
-    Numerics are identical (the mask VALUES are the same equality)."""
+    """Default ON: materialize the label-equality attention mask at
+    trace level and stream ``[g, m, n]`` fp32 blocks into the kernels,
+    instead of building the mask in-VMEM from int32 region-label
+    operands.  Device A/B (round 3, real v5e): mask-DMA is FASTER than
+    the in-kernel compare at the flagship geometry — 13.51 vs 13.21
+    vol/s combined with the other winning gates, and +0.15 vol/s at the
+    round-2 defaults — the broadcast compare costs more VPU time than
+    the extra DMA costs bandwidth at m=n≈304.  ``MIVP_MASK_DMA=0`` opts
+    back into the in-kernel label path (less HBM traffic; may win at
+    larger windows).  Numerics are identical (the mask VALUES are the
+    same equality; parity pinned bitwise in tests/test_pair_kernel.py
+    and tests/test_pallas_attention.py)."""
     import os
-    return os.environ.get("MIVP_MASK_DMA", "0") not in ("0", "")
+    return os.environ.get("MIVP_MASK_DMA", "1") not in ("0", "")
 
 
 def _ln(x, scale, bias):
@@ -875,10 +880,20 @@ def pair_kernel_available(bp: int, p, num_heads: int, m: int, i: int,
 
     Mirrors ``_forward_pair``'s (g, hb) pick, then requires an eligible
     shift plan (the mid-kernel shift cannot materialize at trace level).
-    ``MIVP_NO_PAIR_KERNEL=1`` forces the two-kernel path.
+
+    Default OFF since round 3: on the real chip the pair kernel LOSES
+    to the two-kernel path at the flagship geometry (11.50 vs 11.76
+    vol/s at round-2 defaults; 12.94 vs 13.21 with the head fold off;
+    neutral on train steps) — the inter-block HBM round-trip it saves
+    is cheaper than the VMEM-pressure-driven smaller g it forces.
+    ``MIVP_PAIR_KERNEL=1`` opts in (e.g. geometries where the saved
+    round-trip dominates); ``MIVP_NO_PAIR_KERNEL=1`` still force-
+    disables and wins over the opt-in.
     """
     import os
     if os.environ.get("MIVP_NO_PAIR_KERNEL", "0") not in ("0", ""):
+        return False
+    if os.environ.get("MIVP_PAIR_KERNEL", "0") in ("0", ""):
         return False
     if shift_geom is not None and \
             os.environ.get("MIVP_NO_KERNEL_SHIFT", "0") not in ("0", ""):

@@ -77,13 +77,15 @@ def test_full_tier_composition_matches_xla(monkeypatch):
     want = _stitched(ref_conf, variables, vol)
     assert np.isfinite(want).all()
 
-    # Full tier: fused pair kernels (in-kernel shift + label masks) +
-    # parity head, kernels in interpret mode; defaults = all gates on.
-    for gate in ("MIVP_NO_PAIR_KERNEL", "MIVP_NO_KERNEL_SHIFT",
-                 "MIVP_NO_FUSED_BLOCK", "MIVP_MASK_DMA"):
+    # Full tier (round-3 defaults): fused block kernels with the
+    # in-kernel window shift + mask-DMA label masks, pair kernel off,
+    # head fold off — exactly what `python bench.py` tier 0 runs.
+    for gate in ("MIVP_NO_KERNEL_SHIFT", "MIVP_NO_FUSED_BLOCK",
+                 "MIVP_MASK_DMA", "MIVP_PAIR_KERNEL",
+                 "MIVP_NO_PAIR_KERNEL"):
         monkeypatch.delenv(gate, raising=False)
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
-    got = _stitched(_conf("auto", fold_head_hw=True), variables, vol)
+    got = _stitched(_conf("auto", fold_head_hw=False), variables, vol)
 
     assert got.shape == want.shape
     # bf16 MXU casts inside the kernels; stitching averages (never
@@ -136,6 +138,7 @@ def test_training_grad_composition_within_noise_floor(monkeypatch):
     ref = grads(conf32)          # fp32 XLA reference
     ctrl = grads(conf16)         # bf16 XLA: the intrinsic noise floor
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")  # max-kernel surface
     got = grads(conf_k)          # bf16 fused pair kernels
 
     def gap(a, b):

@@ -46,11 +46,10 @@ def test_ladder_falls_through_to_working_tier(monkeypatch, capsys):
 
     def fake_build(attn_impl, fold_head_hw):
         calls.append((attn_impl, fold_head_hw,
-                      os.environ.get("MIVP_NO_PAIR_KERNEL"),
                       os.environ.get("MIVP_NO_KERNEL_SHIFT"),
                       os.environ.get("MIVP_NO_FUSED_BLOCK"),
                       os.environ.get("MIVP_MASK_DMA")))
-        if len(calls) < 8:  # everything above no-fused-block dies
+        if len(calls) < 5:  # everything above no-fused-block dies
             raise RuntimeError("mosaic lowering failed")
         return _fake_built()
 
@@ -58,24 +57,23 @@ def test_ladder_falls_through_to_working_tier(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_device_preflight", lambda: True)
     monkeypatch.setattr(bench, "REPEATS", 1)
     for var in ("MIVP_NO_FUSED_BLOCK", "MIVP_NO_KERNEL_SHIFT",
-                "MIVP_NO_PAIR_KERNEL", "MIVP_MASK_DMA"):
+                "MIVP_MASK_DMA"):
         monkeypatch.delenv(var, raising=False)
     rec = _run_main(capsys)
     assert rec["metric"] == "sliding_window_volumes_per_sec_per_chip"
     assert rec["value"] > 0
-    # Tier 1 swaps only the mask mode, tier 2 disables the pair kernel
-    # (back on label masks), tier 4 also the kernel shift; the winning
-    # tier 7 adds no-fused-block with fold head off.
-    assert calls[1][2] is None and calls[1][5] == "1"
-    assert calls[2][2] == "1" and calls[2][3] is None and calls[2][5] is None
-    assert calls[3][2] == "1" and calls[3][5] == "1"
-    assert calls[4][2] == "1" and calls[4][3] == "1" and calls[4][4] is None
-    assert calls[6][1] is False and calls[6][5] is None
-    assert calls[7][1] is False
-    assert calls[7][3] == "1" and calls[7][4] == "1"
+    # Tier 0 = round-3 defaults (mask-DMA ambient, fold off); tier 1
+    # swaps to in-kernel masks, tier 2 drops the kernel shift, tier 3
+    # both, the winning tier 4 adds no-fused-block.
+    assert calls[0][1] is False and calls[0][4] is None
+    assert calls[1][4] == "0" and calls[1][2] is None
+    assert calls[2][2] == "1" and calls[2][4] is None
+    assert calls[3][2] == "1" and calls[3][4] == "0"
+    assert calls[4][1] is False
+    assert calls[4][2] == "1" and calls[4][3] == "1"
     # The ladder's env mutations must not leak into the process.
     for var in ("MIVP_NO_FUSED_BLOCK", "MIVP_NO_KERNEL_SHIFT",
-                "MIVP_NO_PAIR_KERNEL", "MIVP_MASK_DMA"):
+                "MIVP_MASK_DMA"):
         assert var not in os.environ
 
 

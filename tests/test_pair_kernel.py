@@ -61,6 +61,7 @@ def test_pair_kernel_bitwise_vs_two_kernels(monkeypatch, shape, force_g):
     blk = _pair()
     params = blk.init(jax.random.PRNGKey(2), x, ps)
 
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")  # opt-in since round 3
     monkeypatch.delenv("MIVP_NO_PAIR_KERNEL", raising=False)
     got = blk.apply(params, x, ps)
     monkeypatch.setenv("MIVP_NO_PAIR_KERNEL", "1")
@@ -75,6 +76,7 @@ def test_pair_kernel_matches_xla(monkeypatch, shape, force_g):
     params = ref.init(jax.random.PRNGKey(2), x, ps)
     want = ref.apply(params, x, ps)
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
     if force_g != "0":
         monkeypatch.setenv("MIVP_FORCE_G", force_g)
     got = _pair().apply(params, x, ps)
@@ -93,6 +95,7 @@ def test_pair_kernel_gradients(monkeypatch):
 
     g_want = jax.grad(loss(ref), argnums=(0, 1))(params, x)
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
     monkeypatch.setenv("MIVP_FORCE_G", "2")
     g_got = jax.grad(loss(_pair()), argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree_util.tree_leaves(g_got),
@@ -106,6 +109,7 @@ def test_pair_kernel_dropout_remat_consistent(monkeypatch):
     """Counter-based in-kernel dropout draws identical masks whether the
     pair runs plain or under remat (canonical training config)."""
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
     x, ps = _inputs((2, 8, 8, 4, 8))
     plain = _pair(ckpt=False, drop=0.2)
     remat = _pair(ckpt=True, drop=0.2)
@@ -130,10 +134,11 @@ def test_pair_kernel_mask_dma_bitwise(monkeypatch):
     label path through the masked shifted PAIR kernel."""
     x, ps = _inputs((2, 16, 16, 4, 8))
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
     monkeypatch.setenv("MIVP_FORCE_G", "2")
     blk = _pair()
     params = blk.init(jax.random.PRNGKey(2), x, ps)
-    monkeypatch.delenv("MIVP_MASK_DMA", raising=False)
+    monkeypatch.setenv("MIVP_MASK_DMA", "0")  # in-kernel label path
     want = blk.apply(params, x, ps)
     monkeypatch.setenv("MIVP_MASK_DMA", "1")
     got = blk.apply(params, x, ps)

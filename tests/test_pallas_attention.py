@@ -417,7 +417,7 @@ def test_fused_block_mask_dma_bitwise(monkeypatch):
             attn_drop=0.1, proj_drop=0.1, interpret=True)
 
     loss = lambda xx: jnp.sum(run(xx) ** 2)
-    monkeypatch.delenv("MIVP_MASK_DMA", raising=False)
+    monkeypatch.setenv("MIVP_MASK_DMA", "0")  # in-kernel label path
     want, g_want = run(x), jax.grad(loss)(x)
     monkeypatch.setenv("MIVP_MASK_DMA", "1")
     got, g_got = run(x), jax.grad(loss)(x)

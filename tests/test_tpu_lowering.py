@@ -35,6 +35,7 @@ def test_flagship_chunk_forward_lowers_for_tpu(monkeypatch):
     from medical_image_segmentation_with_visual_prompts_tpu.models import (
         SwinUnetR, prefill_bias_cache)
 
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")  # max-kernel surface
     conf = _flagship_conf(compute_dtype="bfloat16", fold_head_hw=True)
     model = SwinUnetR(conf)
     roi = (128, 128, 8)
@@ -69,6 +70,8 @@ def test_training_pair_with_dropout_lowers_for_tpu(monkeypatch):
     params = blk.init({"params": jax.random.PRNGKey(0),
                        "dropout": jax.random.PRNGKey(1)}, x, ps)
     monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
+    monkeypatch.setenv("MIVP_MASK_DMA", "0")  # in-kernel label masks
 
     def loss(pr, xx):
         out = blk.apply(pr, xx, ps, deterministic=False,

@@ -1,8 +1,9 @@
 #!/bin/bash
 # One-shot TPU measurement session: run the headline bench over the A/B
-# matrix of round-2 changes that were committed while the TPU tunnel was
-# down, plus a chunk-size sweep.  Same-session numbers are directly
-# comparable (cross-session drift is ~±5%, docs/PERF.md).
+# matrix around the ROUND-3 defaults (fused block + in-kernel shift,
+# mask-DMA label masks, pair kernel OFF, head H/W fold OFF), plus a
+# chunk-size sweep.  Same-session numbers are directly comparable
+# (cross-session drift is ~±5%, docs/PERF.md).
 #
 # Usage: bash tools/tpu_ab.sh [out.log]
 set -u
@@ -31,20 +32,19 @@ run() {
   grep -hE "tier .* failed|FALLBACK" "$ERR" | tee -a "$OUT"
 }
 
-# 1. Full configuration (everything on) — the round-end driver setting.
-run full
-# 2. Isolate the one-kernel block pairs.
-run no-pair-kernel MIVP_NO_PAIR_KERNEL=1
-# 3. Isolate the in-kernel fused window shift (pair kernel off too —
-#    it requires the in-kernel shift).
-run no-kernel-shift MIVP_NO_PAIR_KERNEL=1 MIVP_NO_KERNEL_SHIFT=1
-# 4. Isolate the parity (subpixel) H/W head fold.
-run no-fold-head BENCH_FOLD_HEAD_HW=0
-# 5. Isolate the in-kernel label masks (same kernels, fp32 mask DMA).
-run mask-dma BENCH_TIER=1
-# 6. Isolate the fused block entirely (tier = packed kernels).
-run no-fused-block BENCH_TIER=7
-# 7. Chunk-size sweep at the full configuration.
+# 1. Default configuration — exactly the round-end driver setting.
+run default
+# 2. Opt the one-kernel block pairs back in.
+run pair-kernel MIVP_PAIR_KERNEL=1
+# 3. In-kernel int32 label masks instead of the mask DMA (tier 1).
+run in-kernel-mask BENCH_TIER=1
+# 4. Drop the in-kernel fused window shift (tier 2).
+run no-kernel-shift BENCH_TIER=2
+# 5. Opt the parity (subpixel) H/W head fold back in.
+run fold-head BENCH_FOLD_HEAD_HW=1
+# 6. Drop the fused block entirely (tier 4 = packed kernels).
+run no-fused-block BENCH_TIER=4
+# 7. Chunk-size sweep at the default configuration.
 for c in 8 16 20 40 80; do
   run "chunk$c" BENCH_CHUNK=$c
 done
@@ -55,9 +55,9 @@ timeout 3000 python tools/bench_serving.py --n 12 2>/dev/null \
   | tail -2 | tee -a "$OUT"
 
 # 9. Training-step times (downstream + phase-2 north-star) with and
-#    without the pair kernel.
-for knob in "" "MIVP_NO_PAIR_KERNEL=1"; do
-  echo "=== train-step ${knob:-full}" | tee -a "$OUT"
+#    without the pair kernel opt-in.
+for knob in "" "MIVP_PAIR_KERNEL=1"; do
+  echo "=== train-step ${knob:-default}" | tee -a "$OUT"
   env $knob timeout 3000 python tools/bench_train_step.py 2>/dev/null \
     | tail -4 | tee -a "$OUT"
 done

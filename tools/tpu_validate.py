@@ -1,13 +1,20 @@
 """On-device numerics validation of the kernel paths vs XLA.
 
-Runs ONE flagship 16-window chunk forward twice on the real TPU — the
-full kernel configuration (`attn_impl auto`, fold head on) and the
-plain-XLA path (`attn_impl xla`, folds off) — at the SAME bf16 compute
-dtype, and compares.  The CPU suite pins kernel-vs-XLA parity in
-interpret mode; this catches what interpret cannot: silent Mosaic
-MIS-compiles on the actual hardware.  Exit code 0 on PASS.
+Runs ONE flagship 16-window chunk forward on the real TPU for each
+kernel arm and compares against the plain-XLA path (`attn_impl xla`,
+folds off) at the SAME bf16 compute dtype.  Arms:
 
-Usage: python tools/tpu_validate.py [--tol 0.08]
+* ``default`` — exactly what bench tier 0 serves (fused block +
+  in-kernel window shift, mask-DMA label masks, pair off, fold off);
+* ``max-kernel`` — every optional kernel on (pair kernel, in-kernel
+  int32 label masks, parity H/W head fold), so the opt-in paths cannot
+  rot unvalidated.
+
+The CPU suite pins kernel-vs-XLA parity in interpret mode; this
+catches what interpret cannot: silent Mosaic MIS-compiles on the
+actual hardware.  Exit code 0 iff every arm PASSes.
+
+Usage: python tools/tpu_validate.py [--tol 0.08] [--arm default|max-kernel]
 """
 
 import argparse
@@ -33,16 +40,16 @@ def main():
     ap.add_argument("--tol", type=float, default=0.08,
                     help="max abs logit deviation (bf16 reassociation "
                          "class; CPU interpret measures ~0.04)")
+    ap.add_argument("--arm", choices=["default", "max-kernel"],
+                    default=None, help="validate one arm only")
     args = ap.parse_args()
     from medical_image_segmentation_with_visual_prompts_tpu.models import \
         SwinUnetR
 
     roi = (128, 128, 8)
-    kern_conf = _flagship_conf(attn_impl="auto", compute_dtype="bfloat16",
-                               fold_head_hw=True)
     xla_conf = _flagship_conf(attn_impl="xla", compute_dtype="bfloat16",
                               fold_head_hw=False, fold_head_depth=False)
-    model = SwinUnetR(kern_conf)
+    model = SwinUnetR(xla_conf)
     x0 = jnp.zeros((16, *roi, 1), jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -56,10 +63,35 @@ def main():
                       ["downstream"])(variables, x)
         return np.asarray(out.astype(jnp.float32))
 
-    got = run(kern_conf)
     want = run(xla_conf)
-    err = float(np.max(np.abs(got - want)))
     scale = float(np.max(np.abs(want)))
+    arms = {
+        "default": ({}, dict(attn_impl="auto", compute_dtype="bfloat16")),
+        "max-kernel": ({"MIVP_PAIR_KERNEL": "1", "MIVP_MASK_DMA": "0"},
+                       dict(attn_impl="auto", compute_dtype="bfloat16",
+                            fold_head_hw=True)),
+    }
+    if args.arm:
+        arms = {args.arm: arms[args.arm]}
+    import os
+    ok = True
+    for arm, (env, conf_kw) in arms.items():
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            got = run(_flagship_conf(**conf_kw))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        ok = _judge(arm, got, want, scale, args.tol) and ok
+    return 0 if ok else 1
+
+
+def _judge(arm, got, want, scale, tol):
+    err = float(np.max(np.abs(got - want)))
     # Argmax (label) agreement matters more than raw logit deviation —
     # but at RANDOM weights two-class logits crowd the decision
     # boundary, so flips within the bf16 reassociation band are
@@ -72,11 +104,11 @@ def main():
     sorted_logits = np.sort(want, axis=-1)
     margin = sorted_logits[..., -1] - sorted_logits[..., -2]
     confident = float(np.mean(flip & (margin > 2.0 * max(err, 1e-6))))
-    status = "PASS" if (err < args.tol and confident == 0.0) else "FAIL"
-    print(f"tpu_validate: {status} max_abs_err={err:.4f} "
+    status = "PASS" if (err < tol and confident == 0.0) else "FAIL"
+    print(f"tpu_validate[{arm}]: {status} max_abs_err={err:.4f} "
           f"(logit scale {scale:.2f}) label_mismatch={lab_diff:.2e} "
-          f"confident_flips={confident:.2e} (tol {args.tol})")
-    return 0 if status == "PASS" else 1
+          f"confident_flips={confident:.2e} (tol {tol})")
+    return status == "PASS"
 
 
 if __name__ == "__main__":
