@@ -96,6 +96,34 @@ def _ln(x, scale, bias):
     return y * scale + bias
 
 
+def _fast_softmax_enabled(attn_drop: float, proj_drop: float) -> bool:
+    """Max-subtraction-free softmax for inference-shaped calls.
+
+    ``softmax(s) = exp(s)/sum(exp(s))`` without the stabilizing
+    ``s - max(s)`` saves the reduce_max + broadcast-subtract VPU passes
+    over the fp32 ``[g, hb*m, n]`` score tile — the largest non-MXU
+    tensor the kernel touches.  Mathematically identical; in fp32 it is
+    safe while logits stay below ~88 (exp overflow): post-LN tokens are
+    bounded by ~sqrt(C) and the -1e30 fold/mask columns UNDERFLOW to 0,
+    which is exactly their intended weight.  Gated to calls with both
+    dropouts zero (inference and dropout-free eval; training spikes
+    could overflow mid-run) and off via ``MIVP_FAST_SOFTMAX=0``.  The
+    jnp reference applies the SAME formulation so the custom_vjp
+    backward and the interpret-mode parity tests see one definition.
+    """
+    import os
+    if attn_drop > 0.0 or proj_drop > 0.0:
+        return False
+    return os.environ.get("MIVP_FAST_SOFTMAX", "1") not in ("0", "")
+
+
+def _softmax(s, fast: bool):
+    if fast:
+        e = jnp.exp(s)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+    return jax.nn.softmax(s, axis=-1)
+
+
 def _token_rolls(x, plan, g: int, read: bool):
     """In-VMEM cyclic token rolls of the fused window shift.
 
@@ -296,7 +324,7 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
         if with_mask:
             s = s * jnp.concatenate([mask] * hb, axis=1)
-        probs = jax.nn.softmax(s, axis=-1)
+        probs = _softmax(s, _fast_softmax_enabled(attn_drop, proj_drop))
         if attn_drop > 0.0:
             # Counter-based dropout, reproduced bit-exactly by the jnp
             # backward: idx = ((window*H + head)*m + row)*n + col.
@@ -508,7 +536,7 @@ def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
                          | (lab[:, None, :] < 0),
                          jnp.float32(1), jnp.float32(0))
         s = s * mask[:, None]
-    probs = jax.nn.softmax(s, axis=-1)
+    probs = _softmax(s, _fast_softmax_enabled(attn_drop, proj_drop))
     n = kh.shape[1]
     if attn_drop > 0.0 and seeds is not None:
         w = jnp.arange(bp, dtype=jnp.uint32)[:, None, None, None]

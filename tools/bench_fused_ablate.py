@@ -68,6 +68,12 @@ def make_kernel(mode, scale, num_heads, group, n_tokens, head_block):
                     jnp.float32)[None]
             if mode in ("nosoftmax", "matmuls"):
                 probs = s
+            elif mode == "fastsoftmax":
+                # No max-subtraction: logits are bounded at inference
+                # (see ops/fused_block.py::_softmax), saving the
+                # reduce_max + broadcast-subtract VPU passes.
+                e = jnp.exp(s)
+                probs = e / jnp.sum(e, axis=-1, keepdims=True)
             else:
                 probs = jax.nn.softmax(s, axis=-1)
             o_full = jax.lax.dot_general(
@@ -95,7 +101,7 @@ def make_kernel(mode, scale, num_heads, group, n_tokens, head_block):
 
 
 def run_variant(mode, bp=1024, m=256, c=48, heads=4, tokens=64, g=2,
-                reps=50):
+                reps=50, hb=None):
     n = m + tokens
     dh = c // heads
     rng = np.random.default_rng(0)
@@ -109,7 +115,7 @@ def run_variant(mode, bp=1024, m=256, c=48, heads=4, tokens=64, g=2,
     for hh in range(heads):
         colmask[hh, hh * dh:(hh + 1) * dh] = 1.0
     args.append(jnp.asarray(colmask))
-    kern = make_kernel(mode, dh ** -0.5, heads, g, tokens, heads)
+    kern = make_kernel(mode, dh ** -0.5, heads, g, tokens, hb or heads)
     x_spec = pl.BlockSpec((g, m, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda i: (0, 0),
@@ -132,21 +138,41 @@ def run_variant(mode, bp=1024, m=256, c=48, heads=4, tokens=64, g=2,
     jfn = jax.jit(lambda *a: fn(*a))
     out = jfn(*args)
     out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jfn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+    # Wall timing through the axon async dispatch is UNRELIABLE even
+    # with block_until_ready (docs/PERF.md round-2 note; reproduced:
+    # bit-identical kernels 0.087 vs 2.25 ms) — aggregate a trace.
+    import pathlib as _pl
+    import shutil as _sh
+    sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
+    from profile_bench import aggregate_trace
+    td = _pl.Path(f"/tmp/mivp_ablate/{mode}")
+    _sh.rmtree(td, ignore_errors=True)
+    td.mkdir(parents=True)
+    with jax.profiler.trace(str(td)):
+        for _ in range(reps):
+            out = jfn(*args)
+        out.block_until_ready()
+    agg, _, _ = aggregate_trace(td)
+    kern_us = sum(dur for name, (dur, cnt) in agg.items()
+                  if "custom-call" in name or "lambda" in name
+                  or "pallas" in name)
+    if kern_us == 0:  # fall back: largest op is the kernel
+        kern_us = max(dur for name, (dur, cnt) in agg.items())
+    return kern_us / reps / 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--group", type=int, default=2)
+    ap.add_argument("--hb", type=int, default=0,
+                    help="head_block (0 = all heads)")
     args = ap.parse_args()
-    for mode in ("full", "nobias", "nosoftmax", "matmuls", "noln"):
-        ms = run_variant(mode, g=args.group, reps=args.reps)
-        print(f"{mode:10s} {ms:7.3f} ms")
+    for mode in ("full", "nobias", "fastsoftmax", "nosoftmax", "matmuls",
+                 "noln"):
+        ms = run_variant(mode, g=args.group, reps=args.reps,
+                         hb=args.hb or None)
+        print(f"{mode:10s} {ms:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
