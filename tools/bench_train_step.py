@@ -66,6 +66,9 @@ class _Null:
         pass
 
 
+_REMAT = True  # set by main(); canonical steps A/B remat on/off
+
+
 def bench_downstream(batch=2):
     from medical_image_segmentation_with_visual_prompts_tpu.models import \
         partition
@@ -73,7 +76,7 @@ def bench_downstream(batch=2):
         import SegmentationTrainer
     from medical_image_segmentation_with_visual_prompts_tpu.models import \
         SwinUnetR
-    conf = _base_conf()
+    conf = _base_conf(use_checkpoint=_REMAT)
     tr = SegmentationTrainer(conf, SwinUnetR, None, None, _Null(), _Null())
     variables = tr._init_variables(conf.seg_input_size)
     labels = partition.trainable_labels(tr.model_conf)
@@ -89,9 +92,29 @@ def bench_downstream(batch=2):
                       jnp.float32)
     k = jax.random.PRNGKey(0)
     valid = jnp.ones((batch,), jnp.float32)
-    ms = device_ms(lambda *a: step(*a)[3],
-                   trainable, bs, opt_state, img, msk, k, valid)
-    print(f"downstream step (batch {batch}, dropout 0.1): {ms:.2f} ms")
+    fn = lambda *a: step(*a)[3]
+    ms = device_ms(fn, trainable, bs, opt_state, img, msk, k, valid)
+    mfu = _mfu_pct(fn, ms, trainable, bs, opt_state, img, msk, k, valid)
+    print(f"downstream step (batch {batch}, dropout 0.1): {ms:.2f} ms"
+          f"{mfu}")
+
+
+def _mfu_pct(fn, ms, *args, peak_tflops: float = 197.0) -> str:
+    """Train-step MFU from XLA's own flop count for the WHOLE jitted
+    step (fwd + bwd + optimizer; remat recompute flops are counted by
+    XLA, so the no-remat number is the honest model-flops one)."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return ""
+        mfu = flops / (ms * 1e-3) / (peak_tflops * 1e12) * 100
+        return (f"  [xla_flops {flops / 1e9:.1f} G, "
+                f"mfu {mfu:.1f}%]")
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        return ""
 
 
 def _opt():
@@ -107,7 +130,8 @@ def bench_phase2(batch=2):
         SwinUnetR, partition
     from medical_image_segmentation_with_visual_prompts_tpu.train.\
         students_teacher import StudentsTeacherTrainer
-    conf = _base_conf(training_mode="self_supervised_learning_decoder")
+    conf = _base_conf(training_mode="self_supervised_learning_decoder",
+                      use_checkpoint=_REMAT)
     tr = StudentsTeacherTrainer(conf, SwinUnetR, None, None, _Null(), _Null())
     x0 = jnp.zeros((1, *conf.roi_size, 1))
     k = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -133,20 +157,25 @@ def bench_phase2(batch=2):
         batch_d[f"coord_st_{i}"] = jnp.asarray(
             rng.normal(0, 50, (batch, *size, 3)), jnp.float32)
     key = jax.random.PRNGKey(1)
-    ms = device_ms(
-        lambda tr_, sbs, tp, tbs, os_, bd, kk: step(
-            tr_, sbs, tp, tbs, os_, bd, kk)[5]["tot"],
-        trainable, sv.get("batch_stats", {}), tv["params"],
-        tv.get("batch_stats", {}), opt_state, batch_d, key)
+    fn = lambda tr_, sbs, tp, tbs, os_, bd, kk: step(
+        tr_, sbs, tp, tbs, os_, bd, kk)[5]["tot"]
+    fargs = (trainable, sv.get("batch_stats", {}), tv["params"],
+             tv.get("batch_stats", {}), opt_state, batch_d, key)
+    ms = device_ms(fn, *fargs)
+    mfu = _mfu_pct(fn, ms, *fargs)
     print(f"phase-2 step (batch {batch}, 2 students, dropout 0.1, "
-          f"north-star): {ms:.2f} ms")
+          f"north-star): {ms:.2f} ms{mfu}")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="both",
                     choices=["downstream", "phase2", "both"])
+    ap.add_argument("--no-remat", action="store_true",
+                    help="use_checkpoint=False (activations fit HBM at "
+                         "the canonical batch; remat is pure recompute)")
     args = ap.parse_args()
+    _REMAT = not args.no_remat
     if args.which in ("downstream", "both"):
         bench_downstream()
     if args.which in ("phase2", "both"):
