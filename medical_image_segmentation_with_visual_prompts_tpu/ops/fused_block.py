@@ -671,18 +671,12 @@ def _colmask_np(num_heads: int, c: int, cw: int,
     return cm
 
 
-def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
-                    bias):
-    """(specs, args) for ONE block's 13 weight/bias kernel operands, in
-    kernel-signature order (ktok, vtok, ln1 scale/bias, wq, wkv, wproj,
-    bproj, ln2 scale/bias, wmlp, bmlp, assembled bias) — the single
-    definition of the fused-KV operand layout ([Wq | 0], [0 ; Wproj],
-    concatenated prompt K/V), shared by the single-block and the pair
-    builders so their numerics can never diverge."""
-    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
-                                  memory_space=pltpu.VMEM)
-    fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
+def _operand_args(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
+                  bias):
+    """The 13 operand ARRAYS of one block, in kernel-signature order —
+    a pure function of (params, tokens, bias) so the kernel-backward
+    path can ``jax.vjp`` it to map operand cotangents back to
+    param/token/bias cotangents."""
     # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
     # (tiny [i, c] matmuls) instead of once per grid step inside the
     # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
@@ -716,17 +710,38 @@ def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
         wp_arg = params["wproj"]
         ktok_arg, vtok_arg = ktok, vtok
     v2 = lambda a: a.reshape(1, -1)
-    specs = [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
-             fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
-             fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
-             pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
-                          memory_space=pltpu.VMEM)]
-    args = [ktok_arg, vtok_arg,
+    return [ktok_arg, vtok_arg,
             v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
             wkv, wp_arg, v2(params["bproj"]),
             v2(params["ln2_scale"]), v2(params["ln2_bias"]),
             params["wmlp"], v2(params["bmlp"]),
             bias.reshape(num_heads * m, n)]
+
+
+def _operand_specs(i, c, cw, fused_kv, num_heads, m, n):
+    """BlockSpecs matching :func:`_operand_args`, all block-invariant."""
+    vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
+            fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
+            fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
+            pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
+                         memory_space=pltpu.VMEM)]
+
+
+def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
+                    bias):
+    """(specs, args) for ONE block's 13 weight/bias kernel operands, in
+    kernel-signature order (ktok, vtok, ln1 scale/bias, wq, wkv, wproj,
+    bproj, ln2 scale/bias, wmlp, bmlp, assembled bias) — the single
+    definition of the fused-KV operand layout ([Wq | 0], [0 ; Wproj],
+    concatenated prompt K/V), shared by the single-block and the pair
+    builders so their numerics can never diverge."""
+    specs = _operand_specs(i, c, cw, fused_kv, num_heads, m, n)
+    args = _operand_args(params, tokens, i, c, cw, fused_kv, num_heads,
+                         m, n, bias)
     return specs, args
 
 
@@ -886,6 +901,19 @@ def _fused_block_fwd(x, tokens, param_tuple, bias, labels, seeds, scale,
 def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
                      attn_drop, proj_drop, interpret, shift_geom, res, g):
     x, tokens, param_tuple, bias, labels, seeds = res
+    from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
+                                  kernel_bwd_fits)
+    bp, m, c = x.shape
+    i = tokens.shape[0] if has_tokens else 0
+    if kernel_bwd_enabled() and kernel_bwd_fits(
+            bp, labels.shape[0] if labels is not None else None, num_heads,
+            m, m + n_fold + i, c, labels is not None,
+            attn_drop > 0.0 or proj_drop > 0.0,
+            labels is not None and _mask_dma()):
+        return block_backward(x, g, tokens, param_tuple, bias, labels,
+                              seeds, scale, num_heads, has_tokens,
+                              fold_mode, n_fold, attn_drop, proj_drop,
+                              interpret, shift_geom)
 
     def ref(x_, tokens_, param_tuple_, bias_, labels_, seeds_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))

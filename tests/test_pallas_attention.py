@@ -311,7 +311,14 @@ def test_fused_block_grad_via_reference():
     assert float(jnp.abs(g[1]).sum()) > 0  # grads reach the prompt tokens
 
 
-def test_fused_block_masked_grad_matches_reference():
+def test_fused_block_masked_grad_matches_reference(monkeypatch):
+    # Pins the REFERENCE-VJP backward arm (the kernel backward's
+    # fallback and its parity oracle): with MIVP_KERNEL_BWD=0 the
+    # custom_vjp differentiates _block_reference at the same residuals,
+    # so a linear loss must match the reference gradient exactly.  The
+    # kernel-backward arm is covered at the bf16 noise floor in
+    # tests/test_fused_block_bwd.py.
+    monkeypatch.setenv("MIVP_KERNEL_BWD", "0")
     # Backward through the MASKED (labels) path: dropout-free training
     # with shifted windows differentiates through the int32 labels
     # residual (float0 cotangent) and _block_reference's equality mask.

@@ -40,7 +40,8 @@ def main():
     ap.add_argument("--tol", type=float, default=0.08,
                     help="max abs logit deviation (bf16 reassociation "
                          "class; CPU interpret measures ~0.04)")
-    ap.add_argument("--arm", choices=["default", "max-kernel"],
+    ap.add_argument("--arm", choices=["default", "max-kernel",
+                                      "kernel-bwd"],
                     default=None, help="validate one arm only")
     args = ap.parse_args()
     from medical_image_segmentation_with_visual_prompts_tpu.models import \
@@ -63,6 +64,9 @@ def main():
                       ["downstream"])(variables, x)
         return np.asarray(out.astype(jnp.float32))
 
+    if args.arm == "kernel-bwd":
+        return 0 if _validate_kernel_bwd(SwinUnetR, variables, x,
+                                         args.tol) else 1
     want = run(xla_conf)
     scale = float(np.max(np.abs(want)))
     arms = {
@@ -87,7 +91,61 @@ def main():
                 else:
                     os.environ[k] = v
         ok = _judge(arm, got, want, scale, args.tol) and ok
+    ok = _validate_kernel_bwd(SwinUnetR, variables, x, args.tol) and ok
     return 0 if ok else 1
+
+
+def _validate_kernel_bwd(SwinUnetR, variables, x, tol):
+    """Gradient arm: the fused BACKWARD kernel (ops/fused_block_bwd.py,
+    ``MIVP_KERNEL_BWD``) vs the jnp-reference vjp, both through the
+    flagship kernel forward on device, at the canonical training
+    dropout 0.1 (the backward kernel's dropout-recompute path).
+    Relative-L2 judgement per gradient leaf: backward miscompiles show
+    up as O(1) relative errors, bf16 reassociation as <=the forward
+    tolerance band."""
+    import os
+
+    import jax
+
+    conf = _flagship_conf(attn_impl="auto", compute_dtype="bfloat16",
+                          attn_drop=0.1, proj_drop=0.1)
+    model = SwinUnetR(conf)
+    x = x[:4]  # backward keeps conv/LN activations alive; bound HBM
+
+    def loss(v, xx):
+        out = model.apply(v, xx, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(out["downstream"].astype(jnp.float32) ** 2) \
+            / xx.size
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    def run_arm(flag):
+        saved = os.environ.get("MIVP_KERNEL_BWD")
+        os.environ["MIVP_KERNEL_BWD"] = flag
+        try:
+            g = grad(variables, x)
+            return jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float64), g)
+        finally:
+            if saved is None:
+                os.environ.pop("MIVP_KERNEL_BWD", None)
+            else:
+                os.environ["MIVP_KERNEL_BWD"] = saved
+
+    want = run_arm("0")
+    got = run_arm("1")
+    worst, worst_norm = 0.0, 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        bn = np.linalg.norm(b)
+        rel = np.linalg.norm(a - b) / (bn + 1e-12)
+        if rel > worst and bn > 1e-8:
+            worst, worst_norm = rel, bn
+    status = "PASS" if worst < tol else "FAIL"
+    print(f"tpu_validate[kernel-bwd]: {status} worst_rel_l2={worst:.4f} "
+          f"(leaf norm {worst_norm:.2e}, tol {tol})")
+    return status == "PASS"
 
 
 def _judge(arm, got, want, scale, tol):
