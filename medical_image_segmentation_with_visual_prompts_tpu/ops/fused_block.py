@@ -124,6 +124,25 @@ def _softmax(s, fast: bool):
     return jax.nn.softmax(s, axis=-1)
 
 
+def _late_div_enabled(fast: bool) -> bool:
+    """Fold the softmax normalization to AFTER the PV matmul.
+
+    ``softmax(s) @ v == (exp(s) @ v) / sum(exp(s))`` — moving the
+    divide past the matmul replaces a VPU pass over the fp32
+    ``[g, hb*m, n]`` score tile (n≈320) with one over the
+    ``[g, hb*m, cw]`` output tile (cw=96 at the flagship geometry),
+    ~3x less divide work on the kernel's largest tensor.  Safe exactly
+    when the fast softmax is safe: unnormalized ``exp(s)`` stays below
+    bf16 max (3.4e38 ≈ exp(88.7)) for the same logit bound that keeps
+    fp32 ``exp`` finite, and bf16's RELATIVE precision is
+    scale-invariant so the cast rounding class is unchanged.  Requires
+    ``fast`` (dropout-free); ``MIVP_LATE_DIV=0`` opts out."""
+    import os
+    if not fast:
+        return False
+    return os.environ.get("MIVP_LATE_DIV", "1") not in ("0", "")
+
+
 def _token_rolls(x, plan, g: int, read: bool):
     """In-VMEM cyclic token rolls of the fused window shift.
 
@@ -313,6 +332,8 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                              jnp.float32(1),
                              jnp.float32(0))              # [g, m, n]
     attn = None
+    fast = _fast_softmax_enabled(attn_drop, proj_drop)
+    late_div = _late_div_enabled(fast)
     for h0 in range(0, num_heads, head_block):
         hb = min(head_block, num_heads - h0)
         qp = jnp.concatenate([q * colmask[hh][None, None, :]
@@ -324,7 +345,11 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
         if with_mask:
             s = s * jnp.concatenate([mask] * hb, axis=1)
-        probs = _softmax(s, _fast_softmax_enabled(attn_drop, proj_drop))
+        if late_div:
+            probs = jnp.exp(s)
+            denom = jnp.sum(probs, axis=-1, keepdims=True)
+        else:
+            probs = _softmax(s, fast)
         if attn_drop > 0.0:
             # Counter-based dropout, reproduced bit-exactly by the jnp
             # backward: idx = ((window*H + head)*m + row)*n + col.
@@ -337,6 +362,8 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         o_full = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [g, hb*m, cw]
+        if late_div:
+            o_full = o_full / denom
         for j in range(hb):
             part = o_full[:, j * m:(j + 1) * m, :] \
                 * colmask32[h0 + j][None, None, :]
@@ -536,7 +563,13 @@ def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
                          | (lab[:, None, :] < 0),
                          jnp.float32(1), jnp.float32(0))
         s = s * mask[:, None]
-    probs = _softmax(s, _fast_softmax_enabled(attn_drop, proj_drop))
+    fast = _fast_softmax_enabled(attn_drop, proj_drop)
+    denom = None
+    if _late_div_enabled(fast):
+        probs = jnp.exp(s)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)  # [bp, h, m, 1]
+    else:
+        probs = _softmax(s, fast)
     n = kh.shape[1]
     if attn_drop > 0.0 and seeds is not None:
         w = jnp.arange(bp, dtype=jnp.uint32)[:, None, None, None]
@@ -545,7 +578,10 @@ def _block_reference(x, tokens, params, bias, labels, scale, num_heads,
         jj = jnp.arange(n, dtype=jnp.uint32)[None, None, None, :]
         idx = ((w * num_heads + hh) * m + rr) * n + jj
         probs = probs * keep_mask(seeds[0], idx, attn_drop)
-    attn = jnp.einsum("xhmn,xnhd->xmhd", probs, vh).reshape(bp, m, c)
+    attn = jnp.einsum("xhmn,xnhd->xmhd", probs, vh)
+    if denom is not None:
+        attn = attn / denom.transpose(0, 2, 1, 3)
+    attn = attn.reshape(bp, m, c)
     proj = (attn.astype(jnp.bfloat16)
             @ params["wproj"].astype(jnp.bfloat16)).astype(jnp.float32) \
         + params["bproj"]
@@ -1098,6 +1134,42 @@ def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
                     attn_drop, proj_drop, interpret, shift_geom, res, g):
     (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1, labels,
      seeds) = res
+    from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
+                                  kernel_bwd_fits)
+    bp, m, c = x.shape
+    i = tokens0.shape[0] if has_tokens else 0
+    n = m + n_fold + i
+    dropout = attn_drop > 0.0 or proj_drop > 0.0
+    p = labels.shape[0] if labels is not None else None
+    if kernel_bwd_enabled() \
+            and kernel_bwd_fits(bp, p, num_heads, m, n, c,
+                                labels is not None, dropout,
+                                labels is not None and _mask_dma()) \
+            and kernel_bwd_fits(bp, None, num_heads, m, n, c, False,
+                                dropout, False):
+        # Pair backward = recompute block 1's output with the forward
+        # kernel (rounded to the array dtype exactly as the pair kernel
+        # rounds its inter-block tile), then chain two single-block
+        # kernel backwards: block 2 (masked, fused shift) then block 1.
+        params0 = dict(zip(_PARAM_KEYS, ptuple0))
+        x1 = _forward(x, tokens0 if has_tokens else None, params0, bias0,
+                      None, scale, num_heads, fold_modes[0], n_fold,
+                      None if seeds is None else seeds[:2], attn_drop,
+                      proj_drop, interpret)
+        dx1, dtok1, dpt1, dbias1, dlab, _ = block_backward(
+            x1, g, tokens1, ptuple1, bias1, labels,
+            None if seeds is None else seeds[2:], scale, num_heads,
+            has_tokens, fold_modes[1], n_fold, attn_drop, proj_drop,
+            interpret, shift_geom)
+        dx, dtok0, dpt0, dbias0, _, _ = block_backward(
+            x, dx1, tokens0, ptuple0, bias0, None,
+            None if seeds is None else seeds[:2], scale, num_heads,
+            has_tokens, fold_modes[0], n_fold, attn_drop, proj_drop,
+            interpret, None)
+        dseeds = None if seeds is None \
+            else np.zeros(seeds.shape, jax.dtypes.float0)
+        return (dx, dtok0, dtok1, dpt0, dpt1, dbias0, dbias1, dlab,
+                dseeds)
 
     def ref(x_, t0_, t1_, p0_, p1_, b0_, b1_, lab_, seeds_):
         return _pair_reference(x_, t0_, t1_, p0_, p1_, b0_, b1_, lab_,

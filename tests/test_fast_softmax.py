@@ -30,10 +30,15 @@ def _pair(c=8, heads=2, window=(4, 4, 4), drop=0.0):
 
 
 def _run(monkeypatch, fast: str, shape=(2, 16, 16, 2, 8), drop=0.0,
-         key=0):
-    """Fused-block pair forward in interpret mode with the env gate."""
+         key=0, late_div: str = "0"):
+    """Fused-block pair forward in interpret mode with the env gates.
+
+    ``late_div`` defaults OFF here so the fast-vs-stable comparison
+    isolates the max-subtraction change (late-div moves the bf16
+    rounding point and is pinned separately below)."""
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
     monkeypatch.setenv("MIVP_FAST_SOFTMAX", fast)
+    monkeypatch.setenv("MIVP_LATE_DIV", late_div)
     blk = _pair(drop=drop)
     x = jax.random.normal(jax.random.PRNGKey(key), shape)
     ps = tuple(
@@ -83,4 +88,29 @@ def test_dropout_calls_unaffected_by_gate(monkeypatch):
     # whatever the env gate says: the fast path never applies there.
     a = _run(monkeypatch, "1", drop=0.1)
     b = _run(monkeypatch, "0", drop=0.1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_late_div_matches_normalized(monkeypatch):
+    """Late-divide normalization (divide AFTER the PV matmul —
+    MIVP_LATE_DIV) agrees with the normalized fast softmax at the bf16
+    noise floor: the bf16 cast moves from p to unnormalized exp(s), so
+    only the rounding point changes, never the math."""
+    a = _run(monkeypatch, "1", late_div="1")
+    b = _run(monkeypatch, "1", late_div="0")
+    assert np.all(np.isfinite(a))
+    err = np.abs(a - b)
+    scale = np.abs(b).max()
+    assert err.max() <= 2e-2 * scale, (err.max(), scale)
+
+
+def test_late_div_gated_to_fast():
+    assert fb._late_div_enabled(True)
+    assert not fb._late_div_enabled(False)
+
+
+def test_late_div_dropout_calls_unaffected(monkeypatch):
+    monkeypatch.setenv("MIVP_LATE_DIV", "1")
+    a = _run(monkeypatch, "1", drop=0.1, late_div="1")
+    b = _run(monkeypatch, "1", drop=0.1, late_div="0")
     np.testing.assert_array_equal(a, b)

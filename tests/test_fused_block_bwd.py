@@ -178,3 +178,41 @@ def test_kernel_bwd_dropout_finite_difference(monkeypatch):
     num = (loss(x + dx) - loss(x - dx)) / (2 * eps)
     np.testing.assert_allclose(float(num), float(g[0, 0, 2, 3]),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.2])
+def test_kernel_bwd_through_pair(monkeypatch, drop):
+    """The PAIR custom_vjp backward (forward-kernel recompute of block
+    1's output + two single-block kernel backwards) agrees with the
+    jnp pair-reference vjp."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ConsecutiveSwinBlocks)
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_PAIR_KERNEL", "1")
+    monkeypatch.setenv("MIVP_FORCE_G", "2")
+    blk = ConsecutiveSwinBlocks(
+        hidden_channels=8, num_heads=2, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=3, use_token_params=True,
+        window_size=(4, 4, 4), down=False, use_checkpoint=False,
+        attn_drop=drop, proj_drop=drop, attn_impl="auto",
+        pad_mode="aligned")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4, 8))
+    ps = tuple(
+        jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(10 + i), (1, 3, 8)),
+            (2, 3, 8)) for i in range(2))
+    det = drop == 0.0
+    rngs = None if det else {"dropout": jax.random.PRNGKey(7)}
+    params = blk.init(
+        {"params": jax.random.PRNGKey(2),
+         "dropout": jax.random.PRNGKey(3)}, x, ps)
+
+    def loss(pr, xx):
+        out = blk.apply(pr, xx, ps, deterministic=det, rngs=rngs)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_want = _grads(monkeypatch, lambda pr, xx: loss(pr, xx),
+                    (params, x), kernel_bwd=False)
+    g_got = _grads(monkeypatch, lambda pr, xx: loss(pr, xx),
+                   (params, x), kernel_bwd=True)
+    _compare(g_got, g_want)
