@@ -89,6 +89,104 @@ def _mask_dma() -> bool:
     return os.environ.get("MIVP_MASK_DMA", "1") not in ("0", "")
 
 
+def _mask_dedup() -> bool:
+    """Default ON: under mask-DMA, stream one [1, m, n] mask block per
+    grid step selected from the few DISTINCT mask rows by index_map
+    arithmetic, instead of the group's [g, m, n] slice of the full
+    per-window mask.  At the flagship stage-0 shifted geometry the
+    64-window mask has only FOUR distinct rows (per shifted axis a
+    window either contains the cyclic wrap boundary or it doesn't), so
+    the mask stream shrinks g*P/K-fold (~4x at g=4) — it was the
+    largest per-step HBM read of the masked kernels (~335 MB/chunk per
+    stage-0 instance).  Bitwise-identical mask VALUES; applies only
+    when :func:`_mask_class_plan` verifies the axis-separable class
+    structure against the actual labels (else the full stream is
+    kept).  ``MIVP_MASK_DEDUP=0`` opts out."""
+    import os
+    return os.environ.get("MIVP_MASK_DEDUP", "1") not in ("0", "")
+
+
+def _mask_class_plan(labels: np.ndarray, grid):
+    """Axis-separable dedupe plan for the per-window attention masks.
+
+    ``get_attn_labels`` (reference swin_block.py:312-364 semantics)
+    labels each window's tokens by shift region; for a pure cyclic
+    shift every axis splits the window grid into two contiguous runs —
+    windows below ``t_a = p_a - s0_a`` (no wrap) and windows at/above
+    it (containing the wrap) — so the [P, N] label table has at most
+    ``2**n_shifted_axes`` distinct rows, in an axis-product layout.
+
+    Verifies that structure directly against ``labels`` (thresholds
+    derived from the observed class table, then the product form is
+    CHECKED, never assumed) and returns the hashable plan
+    ``(grid, thresholds, key_strides, representative_window_per_key)``
+    for the index_map, or ``None`` when the labels don't factor (e.g.
+    pad-relabel layouts) — the caller then keeps the full per-window
+    stream.  Runs where the labels are still STATIC numpy (the
+    ``fused_swin_block``/``fused_swin_pair`` wrappers, before the
+    custom_vjp boundary turns them into tracers under jit); the
+    per-``g``-group uniformity check happens per call site in
+    :func:`_label_operands` (forward/pair/backward pick different g).
+    """
+    if grid is None or not isinstance(labels, np.ndarray):
+        return None
+    p1, p2, p3 = grid
+    if labels.shape[0] != p1 * p2 * p3:
+        return None
+    _, inv = np.unique(labels, axis=0, return_inverse=True)
+    base = inv.reshape(p1, p2, p3)
+    thresholds, strides = [], []
+    stride = 1
+    for a, pa in ((2, p3), (1, p2), (0, p1)):
+        # Does the class change along this axis? Expected pattern: a
+        # contiguous low run equal to the o_a=0 hyperplane, then a
+        # contiguous high run (the wrap-containing windows).
+        ref0 = np.take(base, [0], axis=a)
+        differs = (np.take(base, range(pa), axis=a) != ref0)
+        row_diff = np.moveaxis(differs, a, 0).reshape(pa, -1).any(axis=1)
+        if row_diff.any():
+            t = int(np.argmax(row_diff))
+            # contiguous high run (low run clean by argmax): the exact
+            # key -> row mapping is re-verified in full below.
+            if not row_diff[t:].all():
+                return None
+            thresholds.append(t)
+            strides.append(stride)
+            stride *= 2
+        else:
+            thresholds.append(pa)   # never splits: bit always 0
+            strides.append(0)
+    thresholds = thresholds[::-1]   # back to (axis0, axis1, axis2) order
+    strides = strides[::-1]
+    # (stride == 1 means every window shares ONE mask row — the dedupe
+    # then streams a single block with a constant index, still a win.)
+    # Verify the product form exactly: key -> single label row.
+    o = np.stack(np.unravel_index(np.arange(labels.shape[0]),
+                                  (p1, p2, p3)))
+    keys = sum(((o[a] >= thresholds[a]).astype(np.int64) * strides[a])
+               for a in range(3))
+    n_keys = int(keys.max()) + 1
+    reps = np.full(n_keys, -1, np.int64)
+    for w in range(labels.shape[0]):
+        k = int(keys[w])
+        if reps[k] < 0:
+            reps[k] = w
+        elif not np.array_equal(labels[w], labels[reps[k]]):
+            return None             # same key, different mask row
+    if (reps < 0).any():
+        return None                 # a key value never occurs
+    return (tuple(grid), tuple(thresholds), tuple(strides),
+            tuple(int(r) for r in reps))
+
+
+def _plan_keys(grid, thresholds, strides) -> np.ndarray:
+    """Static per-window class keys of a :func:`_mask_class_plan` —
+    the numpy mirror of the index_map arithmetic."""
+    o = np.stack(np.unravel_index(np.arange(int(np.prod(grid))), grid))
+    return sum((o[a] >= thresholds[a]).astype(np.int64) * strides[a]
+               for a in range(3))
+
+
 def _ln(x, scale, bias):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
@@ -213,7 +311,8 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
            scale: float, num_heads: int, group: int, n_tokens: int,
            with_mask: bool, fold_mode: int, n_fold: int,
            head_block: int, attn_drop: float, proj_drop: float,
-           fused_kv: bool, mask_dma: bool = False):
+           fused_kv: bool, mask_dma: bool = False,
+           mask_classes: bool = False):
     """One full Swin block body on an in-VMEM fp32 ``[g, m, c]`` tile —
     shared by the single-block kernel and the pair kernel (which runs
     two phases back to back with the window shift rolled in between).
@@ -316,8 +415,12 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         if mask_dma:
             # MIVP_MASK_DMA fallback: the trace-level materialized
             # equality mask arrives as a [g, m, n] fp32 block (in the
-            # lq operand slot; lk is a dummy).
-            mask = lq_ref[:].astype(jnp.float32)          # [g, m, n]
+            # lq operand slot; lk is a dummy) — or, deduped
+            # (MIVP_MASK_DEDUP), as ONE [1, m, n] class block shared by
+            # the whole group, expanded here in VMEM.
+            mask = lq_ref[:].astype(jnp.float32)
+            if mask_classes and g > 1:
+                mask = jnp.concatenate([mask] * g, axis=0)  # [g, m, n]
         else:
             # The attention mask is pure label EQUALITY: build it
             # in-kernel from the per-window region labels ([g, m, 1]
@@ -425,7 +528,8 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
                   head_block: int, attn_drop: float, proj_drop: float,
-                  fused_kv: bool, shift_plan=None, mask_dma: bool = False):
+                  fused_kv: bool, shift_plan=None, mask_dma: bool = False,
+                  mask_classes: bool = False):
     g = group
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
@@ -444,7 +548,8 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                  n_tokens=n_tokens, with_mask=with_mask,
                  fold_mode=fold_mode, n_fold=n_fold, head_block=head_block,
                  attn_drop=attn_drop, proj_drop=proj_drop,
-                 fused_kv=fused_kv, mask_dma=mask_dma)
+                 fused_kv=fused_kv, mask_dma=mask_dma,
+                 mask_classes=mask_classes)
     if shift_plan is not None:
         # Undo the read roll so the (same-permuted) output write lands
         # the block back in unshifted window-major order.  Roll while
@@ -464,7 +569,8 @@ def _pair_kernel(x_ref,
                  scale: float, num_heads: int, group: int, n_tokens: int,
                  with_mask: bool, fold_modes: tuple, n_fold: int,
                  head_block: int, attn_drop: float, proj_drop: float,
-                 fused_kv: bool, shift_plan=None, mask_dma: bool = False):
+                 fused_kv: bool, shift_plan=None, mask_dma: bool = False,
+                 mask_classes: bool = False):
     """Both blocks of a Swin pair in ONE kernel.
 
     The cyclic shift is a window-to-window bijection, so one grid step
@@ -479,7 +585,8 @@ def _pair_kernel(x_ref,
     common = dict(scale=scale, num_heads=num_heads, group=g,
                   n_tokens=n_tokens, n_fold=n_fold, head_block=head_block,
                   attn_drop=attn_drop, proj_drop=proj_drop,
-                  fused_kv=fused_kv, mask_dma=mask_dma)
+                  fused_kv=fused_kv, mask_dma=mask_dma,
+                  mask_classes=mask_classes)
     # Block 1 runs on SOURCE windows: hash dropout with their indices.
     if shift_plan is not None and any(shift_plan[2]):
         w0_src = _src_w0(shift_plan, g)
@@ -781,23 +888,62 @@ def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
     return specs, args
 
 
-def _label_operands(labels, m, n, g, p, mask_dma):
-    """(specs, args) for the two mask operand slots: the int32 label
-    row/column pair in the default in-kernel mode, or (materialized fp32
-    equality mask, dummy) under ``MIVP_MASK_DMA`` — shared by the
-    single-block and pair builders."""
+def _label_operands(labels, m, n, g, p, mask_dma, mask_plan=None):
+    """(specs, args, deduped) for the two mask operand slots: the int32
+    label row/column pair in the default in-kernel mode, or
+    (materialized fp32 equality mask, dummy) under ``MIVP_MASK_DMA`` —
+    shared by the single-block, pair, and backward builders.
+
+    Under mask-DMA, when the caller supplies a verified
+    :func:`_mask_class_plan` (computed where the labels were still
+    static numpy) and this call site's ``g``-groups are class-uniform,
+    the mask operand is DEDUPED to its distinct rows ``[K, m, n]`` and
+    each grid step DMAs one ``[1, m, n]`` block picked by index_map
+    arithmetic on the step's first-window coordinates (index_maps may
+    not capture arrays, so the class is recomputed from
+    thresholds/strides each step).  ``deduped`` tells the kernel to
+    expand the block across its ``g`` windows."""
     dum = pl.BlockSpec((1, 1, 1), lambda idx: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     if labels is None:
-        return [dum, dum], [jnp.zeros((1, 1, 1), jnp.int32)] * 2
+        return [dum, dum], [jnp.zeros((1, 1, 1), jnp.int32)] * 2, False
     pg = p // g
+
+    def _eq_mask(lab):
+        return jnp.where((lab[:, :m, None] == lab[:, None, :])
+                         | (lab[:, None, :] < 0),
+                         jnp.float32(1), jnp.float32(0))
     if mask_dma:
-        mask = jnp.where((labels[:, :m, None] == labels[:, None, :])
-                         | (labels[:, None, :] < 0),
-                         jnp.float32(1), jnp.float32(0))     # [p, m, n]
+        plan = mask_plan if _mask_dedup() else None
+        if plan is not None:
+            keys = _plan_keys(plan[0], plan[1], plan[2])
+            if (keys.reshape(-1, g) != keys.reshape(-1, g)[:, :1]).any():
+                plan = None         # class-mixed groups at this g
+        if plan is not None:
+            grid, (t1, t2, t3), (k1, k2, k3), reps = plan
+            p1, p2, p3 = grid
+            # labels may be a tracer here (custom_vjp boundary); static
+            # fancy indexing with the plan's representatives is fine.
+            lab_k = labels[np.asarray(reps)]                 # [K, N]
+
+            def _class_index(idx):
+                w = (idx % pg) * g
+                key = 0
+                if k1:
+                    key = key + jnp.where(w // (p2 * p3) >= t1, k1, 0)
+                if k2:
+                    key = key + jnp.where((w // p3) % p2 >= t2, k2, 0)
+                if k3:
+                    key = key + jnp.where(w % p3 >= t3, k3, 0)
+                return (key, 0, 0)
+            return ([pl.BlockSpec((1, m, n), _class_index,
+                                  memory_space=pltpu.VMEM), dum],
+                    [_eq_mask(lab_k), jnp.zeros((1, 1, 1), jnp.int32)],
+                    True)
+        mask = _eq_mask(labels)                              # [p, m, n]
         return ([pl.BlockSpec((g, m, n), lambda idx: (idx % pg, 0, 0),
                               memory_space=pltpu.VMEM), dum],
-                [mask, jnp.zeros((1, 1, 1), jnp.int32)])
+                [mask, jnp.zeros((1, 1, 1), jnp.int32)], False)
     # Per-window region labels, split into query-row ([p, m, 1]) and
     # key-column ([p, 1, n]) operands so the in-kernel equality
     # broadcasts along natural (sublane / lane) axes.
@@ -805,12 +951,12 @@ def _label_operands(labels, m, n, g, p, mask_dma):
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((g, 1, n), lambda idx: (idx % pg, 0, 0),
                           memory_space=pltpu.VMEM)],
-            [labels[:, :m, None], labels[:, None, :]])
+            [labels[:, :m, None], labels[:, None, :]], False)
 
 
 def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
-             interpret=False, shift_geom=None):
+             interpret=False, shift_geom=None, mask_plan=None):
     import os as _os
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
@@ -852,12 +998,14 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
             x = _shift(x, False)
             unshift = lambda t: _shift(t, True)
     colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
+    lab_specs, lab_args, deduped = _label_operands(
+        labels, m, n, g, p, mask_dma, mask_plan=mask_plan)
     kernel = functools.partial(
         _block_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
-        mask_dma=mask_dma)
+        mask_dma=mask_dma, mask_classes=deduped)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
@@ -867,7 +1015,6 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
                                           fused_kv, num_heads, m, n, bias)
     in_specs = [x_spec] + blk_specs
     args = [x] + blk_args
-    lab_specs, lab_args = _label_operands(labels, m, n, g, p, mask_dma)
     in_specs += lab_specs
     args += lab_args
     in_specs.append(colmask_spec)
@@ -915,27 +1062,28 @@ def _reference_with_shift(x, tokens, params, bias, labels, scale, num_heads,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 def _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                  num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                 proj_drop, interpret, shift_geom):
+                 proj_drop, interpret, shift_geom, mask_plan):
     params = dict(zip(_PARAM_KEYS, param_tuple))
     return _forward(x, tokens if has_tokens else None, params, bias, labels,
                     scale, num_heads, fold_mode, n_fold, seeds, attn_drop,
-                    proj_drop, interpret, shift_geom)
+                    proj_drop, interpret, shift_geom, mask_plan)
 
 
 def _fused_block_fwd(x, tokens, param_tuple, bias, labels, seeds, scale,
                      num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                     proj_drop, interpret, shift_geom):
+                     proj_drop, interpret, shift_geom, mask_plan):
     out = _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                        num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                       proj_drop, interpret, shift_geom)
+                       proj_drop, interpret, shift_geom, mask_plan)
     return out, (x, tokens, param_tuple, bias, labels, seeds)
 
 
 def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
-                     attn_drop, proj_drop, interpret, shift_geom, res, g):
+                     attn_drop, proj_drop, interpret, shift_geom, mask_plan,
+                     res, g):
     x, tokens, param_tuple, bias, labels, seeds = res
     from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
                                   kernel_bwd_fits)
@@ -949,7 +1097,7 @@ def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
         return block_backward(x, g, tokens, param_tuple, bias, labels,
                               seeds, scale, num_heads, has_tokens,
                               fold_mode, n_fold, attn_drop, proj_drop,
-                              interpret, shift_geom)
+                              interpret, shift_geom, mask_plan)
 
     def ref(x_, tokens_, param_tuple_, bias_, labels_, seeds_):
         params = dict(zip(_PARAM_KEYS, param_tuple_))
@@ -1007,7 +1155,7 @@ def pair_kernel_available(bp: int, p, num_heads: int, m: int, i: int,
 def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
                   labels, scale, num_heads, fold_modes, n_fold, seeds=None,
                   attn_drop=0.0, proj_drop=0.0, interpret=False,
-                  shift_geom=None):
+                  shift_geom=None, mask_plan=None):
     bp, m, c = x.shape
     i = 0 if tokens0 is None else tokens0.shape[0]
     n = m + n_fold + i
@@ -1036,14 +1184,17 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
             return _forward(x1, tokens1, params1, bias1, labels, scale,
                             num_heads, fold_modes[1], n_fold,
                             None if seeds is None else seeds[2:],
-                            attn_drop, proj_drop, interpret, shift_geom)
+                            attn_drop, proj_drop, interpret, shift_geom,
+                            mask_plan)
     colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
+    lab_specs, lab_args, deduped = _label_operands(
+        labels, m, n, g, p, mask_dma, mask_plan=mask_plan)
     kernel = functools.partial(
         _pair_kernel, scale=scale, num_heads=num_heads, group=g,
         n_tokens=i, with_mask=labels is not None, fold_modes=fold_modes,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
-        mask_dma=mask_dma)
+        mask_dma=mask_dma, mask_classes=deduped)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
@@ -1054,7 +1205,6 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
                              num_heads, m, n, bias1)
     in_specs = [x_spec] + s0 + s1
     args = [x] + a0 + a1
-    lab_specs, lab_args = _label_operands(labels, m, n, g, p, mask_dma)
     in_specs += lab_specs
     args += lab_args
     in_specs.append(fix(*colmask_np.shape))
@@ -1108,30 +1258,33 @@ def _pair_reference(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
 def _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                 labels, seeds, scale, num_heads, has_tokens, fold_modes,
-                n_fold, attn_drop, proj_drop, interpret, shift_geom):
+                n_fold, attn_drop, proj_drop, interpret, shift_geom,
+                mask_plan):
     return _forward_pair(
         x, tokens0 if has_tokens else None, tokens1 if has_tokens else None,
         dict(zip(_PARAM_KEYS, ptuple0)), dict(zip(_PARAM_KEYS, ptuple1)),
         bias0, bias1, labels, scale, num_heads, fold_modes, n_fold, seeds,
-        attn_drop, proj_drop, interpret, shift_geom)
+        attn_drop, proj_drop, interpret, shift_geom, mask_plan)
 
 
 def _fused_pair_fwd(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                     labels, seeds, scale, num_heads, has_tokens, fold_modes,
-                    n_fold, attn_drop, proj_drop, interpret, shift_geom):
+                    n_fold, attn_drop, proj_drop, interpret, shift_geom,
+                    mask_plan):
     out = _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                       labels, seeds, scale, num_heads, has_tokens,
                       fold_modes, n_fold, attn_drop, proj_drop, interpret,
-                      shift_geom)
+                      shift_geom, mask_plan)
     return out, (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                  labels, seeds)
 
 
 def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
-                    attn_drop, proj_drop, interpret, shift_geom, res, g):
+                    attn_drop, proj_drop, interpret, shift_geom, mask_plan,
+                    res, g):
     (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1, labels,
      seeds) = res
     from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
@@ -1160,7 +1313,7 @@ def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
             x1, g, tokens1, ptuple1, bias1, labels,
             None if seeds is None else seeds[2:], scale, num_heads,
             has_tokens, fold_modes[1], n_fold, attn_drop, proj_drop,
-            interpret, shift_geom)
+            interpret, shift_geom, mask_plan)
         dx, dtok0, dpt0, dbias0, _, _ = block_backward(
             x, dx1, tokens0, ptuple0, bias0, None,
             None if seeds is None else seeds[:2], scale, num_heads,
@@ -1221,12 +1374,13 @@ def fused_swin_pair(x_win: jnp.ndarray, tokens0, tokens1, params0: dict,
         attn_drop = proj_drop = 0.0
     if shift_geom is not None:
         shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
+    mask_plan = _static_mask_plan(labels, p, n, shift_geom)
     out = _fused_pair(xf, tok0, tok1, pt0, pt1,
                       bias0.reshape(num_heads, m, n),
                       bias1.reshape(num_heads, m, n), lab, dropout_seeds,
                       scale, num_heads, tokens0 is not None,
                       tuple(fold_modes), n_fold, float(attn_drop),
-                      float(proj_drop), interpret, shift_geom)
+                      float(proj_drop), interpret, shift_geom, mask_plan)
     return out.reshape(b, p, m, c)
 
 
@@ -1234,6 +1388,18 @@ def fold_width(m: int, n_tokens: int) -> int:
     """Virtual-fold column count: 1 real column plus sublane-alignment
     padding so the kernel's key/value row count is a multiple of 8."""
     return 1 + (-(m + n_tokens + 1)) % 8
+
+
+def _static_mask_plan(labels, p: int, n: int, shift_geom):
+    """Mask-dedupe plan for the wrapper level, where ``labels`` is still
+    the caller's STATIC numpy table (inside the custom_vjp it becomes a
+    tracer under jit, too late for :func:`_mask_class_plan`)."""
+    if (labels is None or shift_geom is None
+            or not isinstance(labels, np.ndarray)
+            or not (_mask_dma() and _mask_dedup())):
+        return None
+    return _mask_class_plan(np.asarray(labels).reshape(p, n),
+                            shift_geom[0])
 
 
 def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
@@ -1284,8 +1450,9 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
         attn_drop = proj_drop = 0.0
     if shift_geom is not None:
         shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
+    mask_plan = _static_mask_plan(labels, p, n, shift_geom)
     out = _fused_block(xf, tok_arg, param_tuple, bias, lab, dropout_seeds,
                        scale, num_heads, tokens is not None, fold_mode,
                        n_fold, float(attn_drop), float(proj_drop), interpret,
-                       shift_geom)
+                       shift_geom, mask_plan)
     return out.reshape(b, p, m, c)

@@ -127,7 +127,8 @@ def _bwd_kernel(x_ref, dout_ref,
                 scale: float, num_heads: int, group: int, n_tokens: int,
                 with_mask: bool, fold_mode: int, n_fold: int,
                 head_block: int, attn_drop: float, proj_drop: float,
-                fused_kv: bool, shift_plan=None, mask_dma: bool = False):
+                fused_kv: bool, shift_plan=None, mask_dma: bool = False,
+                mask_classes: bool = False):
     g, h, i = group, num_heads, n_tokens
     m, c = x_ref.shape[1], x_ref.shape[2]
     n = m + n_fold + i
@@ -212,7 +213,11 @@ def _bwd_kernel(x_ref, dout_ref,
         cmK32 = cmV32 = colmask_ref[:].astype(jnp.float32)
     if with_mask:
         if mask_dma:
-            mask = lq_ref[:].astype(jnp.float32)           # [g, m, n]
+            # [g, m, n] — or the deduped [1, m, n] class block, expanded
+            # across the group here (see fused_block._label_operands).
+            mask = lq_ref[:].astype(jnp.float32)
+            if mask_classes and g > 1:
+                mask = jnp.concatenate([mask] * g, axis=0)
         else:
             mask = jnp.where((lq_ref[:] == lk_ref[:]) | (lk_ref[:] < 0),
                              jnp.float32(1), jnp.float32(0))
@@ -387,7 +392,8 @@ def kernel_bwd_fits(bp, p, num_heads, m, n, c, with_mask, with_dropout,
 
 def block_backward(x, dout, tokens, param_tuple, bias, labels, seeds,
                    scale, num_heads, has_tokens, fold_mode, n_fold,
-                   attn_drop, proj_drop, interpret, shift_geom):
+                   attn_drop, proj_drop, interpret, shift_geom,
+                   mask_plan=None):
     """Fused-kernel backward of ONE Swin block.
 
     Mirrors ``fused_block._forward``'s geometry decisions, runs
@@ -442,7 +448,8 @@ def block_backward(x, dout, tokens, param_tuple, bias, labels, seeds,
     op_specs = _operand_specs(i, c, cw, fused_kv, num_heads, m, n)
     op_args = _operand_args(params, tokens_used, i, c, cw, fused_kv,
                             num_heads, m, n, bias)
-    lab_specs, lab_args = _label_operands(labels, m, n, g, p, mask_dma)
+    lab_specs, lab_args, deduped = _label_operands(
+        labels, m, n, g, p, mask_dma, mask_plan=mask_plan)
     in_specs = [x_spec, x_spec] + op_specs + lab_specs
     args = [x, dout] + op_args + lab_args
     in_specs.append(fix(*colmask_np.shape))
@@ -461,7 +468,7 @@ def block_backward(x, dout, tokens, param_tuple, bias, labels, seeds,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
-        mask_dma=mask_dma)
+        mask_dma=mask_dma, mask_classes=deduped)
     dh = c // num_heads
     outs = pl.pallas_call(
         kernel,
