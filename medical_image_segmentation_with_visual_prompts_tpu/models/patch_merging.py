@@ -31,10 +31,14 @@ class PatchMerging(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, d, c = x.shape
         # Depth is padded when odd even if it is not merged — reference
-        # down.py:25-28 pads all three axes unconditionally.
+        # down.py:25-28 pads all three axes unconditionally.  The pad
+        # lands at the FRONT of each axis: the reference builds
+        # ``paddings = (0, pad_h, 0, pad_w, 0, pad_d)`` but
+        # ``tuple(reversed(paddings))`` in F.pad flips each axis's
+        # lo/hi, so the applied padding is (pad, 0) per axis.
         pad_h, pad_w, pad_d = h % 2, w % 2, d % 2
         if pad_h or pad_w or pad_d:
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, pad_d), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (pad_h, 0), (pad_w, 0), (pad_d, 0), (0, 0)))
         h, w, d = x.shape[1:4]
         if self.merge_last_dim:
             # Concat order matches reference down.py:31-39 (x0..x7).

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.windows import (compute_paddings, get_attn_labels,
+from ..ops.windows import (compute_paddings, get_attn_labels, unpad_paddings,
                            get_attn_mask, window_partition,
                            window_reverse)
 from .patch_merging import PatchMerging
@@ -328,6 +328,12 @@ class SwinTransformerBlock(nn.Module):
         window_size = tuple(self.window_size)
         shift_size = self.get_shift_size((h, w, d))
         paddings = compute_paddings((h, w, d), window_size, self.pad_mode)
+        # The reference's mask slicing and unpad crop use the UNswapped
+        # (floor, ceil) values while the data is padded (ceil, floor) —
+        # with odd pad totals its block outputs shift by one voxel.
+        # Replicated exactly under pad_mode "reference"
+        # (ops/windows.py::unpad_paddings); identity under "aligned".
+        ref_pads = unpad_paddings(paddings, self.pad_mode)
 
         # Pad-folding fast path (TPU fused kernel only): axes where the
         # feature map is SMALLER than the window would be zero-padded
@@ -347,13 +353,18 @@ class SwinTransformerBlock(nn.Module):
                           if dim < self.window_size[i])
         _, pads_eff = fold_geometry((h, w, d), window_size, fold_axes,
                                     paddings)
-        if use_fused_block and fold_axes and not any(pads_eff):
+        if use_fused_block and fold_axes and not any(pads_eff) \
+                and paddings == ref_pads:
             # Pad-folding requires that the folded axes be the ONLY
             # padding: with material pads on other axes (pad_mode
             # "reference" pads aligned axes too), material-pad query
             # rows have UNMASKED virtual-pad columns (equal shift
             # labels), breaking the all-masked fold constant — the
-            # standard padded kernel path below is exact there.
+            # standard padded kernel path below is exact there.  Odd
+            # (asymmetric) fold-axis pads under pad_mode "reference"
+            # also take the plain path: the reference mislabels one
+            # content row as padding there (see unpad_paddings), which
+            # the fold algebra cannot express.
             return self._forward_folded(x, p, window_size, shift_size,
                                         paddings, fold_axes, deterministic)
         drop_kw = {} if not use_fused_block \
@@ -383,14 +394,14 @@ class SwinTransformerBlock(nn.Module):
                 # the equality mask in-VMEM (-1 = never-masked prompt
                 # key columns).
                 labels = get_attn_labels((hp, wp, dp), window_size,
-                                         shift_size, paddings)
+                                         shift_size, ref_pads)
                 if p is not None:
                     labels = np.concatenate(
                         [labels, np.full((labels.shape[0], n_tokens), -1,
                                          np.int32)], axis=-1)
             else:
                 attn_mask = get_attn_mask((hp, wp, dp), window_size,
-                                          shift_size, paddings)  # [P, N, N]
+                                          shift_size, ref_pads)  # [P, N, N]
                 if p is not None:
                     pwin, nwin, _ = attn_mask.shape
                     total = np.zeros((pwin, nwin + n_tokens,
@@ -454,9 +465,9 @@ class SwinTransformerBlock(nn.Module):
         else:
             x = x_shifted
         if any(pp > 0 for pp in paddings):
-            x = x[:, paddings[0]: x.shape[1] - paddings[1],
-                  paddings[2]: x.shape[2] - paddings[3],
-                  paddings[4]: x.shape[3] - paddings[5], :]
+            x = x[:, ref_pads[0]: x.shape[1] - ref_pads[1],
+                  ref_pads[2]: x.shape[2] - ref_pads[3],
+                  ref_pads[4]: x.shape[3] - ref_pads[5], :]
         return x
 
     def __call__(self, x: jnp.ndarray, p: Optional[jnp.ndarray] = None,
@@ -545,7 +556,10 @@ class ConsecutiveSwinBlocks(nn.Module):
                                     self.pad_mode)
         _, pads_eff = fold_geometry(shape_x, tuple(self.window_size),
                                     fold_axes, paddings)
-        return not any(pads_eff)
+        # Odd fold-axis pads under pad_mode "reference" need the plain
+        # path's exact mislabeled-pad replication (see unpad_paddings).
+        return not any(pads_eff) \
+            and paddings == unpad_paddings(paddings, self.pad_mode)
 
     def _pair_forward(self, x: jnp.ndarray, p0, p1,
                       deterministic: bool) -> jnp.ndarray:

@@ -132,10 +132,12 @@ def compute_paddings(shape_x: Sequence[int], window_size: Sequence[int],
     computes (floor, ceil) per axis but applies them through
     ``tuple(reversed(paddings))`` in ``F.pad``, which swaps each axis's
     lo/hi — so the APPLIED padding is (ceil, floor); we return the
-    applied values and use them consistently everywhere (for odd pad
-    totals the reference's mask/unpad slices disagree with its own
-    applied padding — a latent misalignment bug we fix by consistency;
-    every canonical geometry has even totals where the two agree).
+    applied values.  For odd pad totals the reference's mask/unpad
+    slices disagree with its own applied padding (each block output
+    shifts by one voxel on that axis); :func:`unpad_paddings` returns
+    the (floor, ceil) values crops/masks must use so pad_mode
+    "reference" replicates that behavior bit-exactly.  Every canonical
+    geometry has even totals where the two agree.
 
     ``mode="aligned"`` pads only misaligned axes — the production
     optimization (identical results for checkpoints trained in this
@@ -158,6 +160,30 @@ def compute_paddings(shape_x: Sequence[int], window_size: Sequence[int],
             else:
                 pads.extend([math.floor(total / 2), math.ceil(total / 2)])
     return tuple(pads)
+
+
+def unpad_paddings(paddings: Sequence[int], mode: str) -> Tuple[int, ...]:
+    """Per-axis (lo, hi) the reference uses for its UNPAD crop and mask
+    interior slicing.
+
+    The reference computes ``(floor, ceil)`` per axis but APPLIES
+    ``(ceil, floor)`` — ``tuple(reversed(paddings))`` in ``F.pad``
+    reverses the axis order AND flips each axis's lo/hi
+    (swin_block.py:155-163) — while ``get_attn_mask``'s interior-100
+    slice (:345-350) and the final unpad crop (:247-253) keep indexing
+    with the ORIGINAL ``(floor, ceil)`` values.  For odd pad totals the
+    two disagree: each block's output gains a zero row at the front of
+    the axis and loses its last content row.  ``mode="reference"``
+    returns the (floor, ceil) list (swap of the applied values
+    ``compute_paddings`` returns) so crops/masks replicate that
+    behavior bit-exactly; ``mode="aligned"`` keeps the self-consistent
+    applied values.  Canonical geometries only produce even totals,
+    where the two coincide.
+    """
+    if mode != "reference":
+        return tuple(paddings)
+    return (paddings[1], paddings[0], paddings[3], paddings[2],
+            paddings[5], paddings[4])
 
 
 def kernel_shift_plan(grid: Sequence[int], wc: Sequence[int],

@@ -38,6 +38,7 @@ def sweep_env(tmp_path_factory):
 
     conf = yaml.safe_load((ROOT / "configurations" / "tiny_cpu.yml").read_text())
     conf.update(
+        image_dir_pretrain=str(img_dir), mask_dir_pretrain=str(msk_dir),
         image_dir_downstream=str(img_dir), mask_dir_downstream=str(msk_dir),
         image_dir_test=str(img_dir), mask_dir_test=str(msk_dir),
         max_epochs_downstream=0, active_labels_downstream=[0, 1])
@@ -96,3 +97,98 @@ def test_downstream_sweep_cell_end_to_end(sweep_env):
     # Both test repeats ran and were appended.
     assert scraped.count("Start testing") >= 2 or \
         scraped.count(" iou: ") >= 2
+
+
+def _script_env(root, yml, **extra):
+    env = dict(os.environ)
+    ckpt_dir, log_dir = root / "ckpts", root / "logs"
+    env.update(
+        JAX_PLATFORMS="cpu",
+        MIVP_CKPT_DIR=str(ckpt_dir), MIVP_LOG_DIR=str(log_dir),
+        PYTHONPATH=f"{ROOT}:{env.get('PYTHONPATH', '')}",
+        **{k: str(v) for k, v in extra.items()},
+    )
+    return env, ckpt_dir, log_dir
+
+
+@pytest.fixture(scope="module")
+def phase1_ckpt(sweep_env):
+    """Execute phase1_example.sh once (real script + CLI); return the
+    backbone checkpoint it saved."""
+    root, yml, _ = sweep_env
+    env, ckpt_dir, _ = _script_env(root, yml)
+    script = ROOT / "example_scripts" / "phase1_example.sh"
+    r = subprocess.run(
+        ["bash", str(script), sys.executable, str(yml), "ci"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=1500)
+    assert r.returncode == 0, f"phase1 script failed:\n{r.stdout}\n{r.stderr}"
+    ckpts = sorted((ckpt_dir / "backbone").glob("*ssl_enc_use_ep_ci/*.ckpt"))
+    assert ckpts, "phase-1 script saved no backbone checkpoint"
+    return ckpts[-1]
+
+
+def test_phase1_script_cell(phase1_ckpt):
+    from medical_image_segmentation_with_visual_prompts_tpu.utils import \
+        load_checkpoint
+    ck = load_checkpoint(phase1_ckpt)
+    assert set(ck.keys()) >= {"current_epoch", "model_state_dict",
+                              "optimizer_state_dict", "scheduler_state_dict"}
+
+
+def test_phase2_script_cell(sweep_env, phase1_ckpt):
+    """phase2_example.sh loads the phase-1 backbone and saves the
+    teacher-ful phase-2 family."""
+    root, yml, _ = sweep_env
+    env, ckpt_dir, _ = _script_env(root, yml)
+    script = ROOT / "example_scripts" / "phase2_example.sh"
+    r = subprocess.run(
+        ["bash", str(script), sys.executable, str(yml), "ci",
+         str(phase1_ckpt)],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=1500)
+    assert r.returncode == 0, f"phase2 script failed:\n{r.stdout}\n{r.stderr}"
+    ckpts = sorted(
+        (ckpt_dir / "backbone").glob("*ssl_dec_use_ep_use_dp_ci/*.ckpt"))
+    assert ckpts, "phase-2 script saved no backbone checkpoint"
+    from medical_image_segmentation_with_visual_prompts_tpu.utils import \
+        load_checkpoint
+    ck = load_checkpoint(ckpts[-1])
+    assert "teacher_state_dict" in ck
+
+
+def test_test_script_cell(sweep_env):
+    """test_example.sh single cell (use_ep_use_dp) against a fabricated
+    full-state prompt checkpoint; the scrape protocol appends the test
+    log (reference test_example.sh:40-69)."""
+    root, yml, _ = sweep_env
+    import jax
+    import jax.numpy as jnp
+    from argparse import Namespace
+
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ModelConfig, SwinUnetR)
+    from medical_image_segmentation_with_visual_prompts_tpu.utils import \
+        save_checkpoint
+    conf = yaml.safe_load(yml.read_text())
+    mc = ModelConfig.from_namespace(Namespace(
+        training_mode="downstream", use_encoder_prompting=True,
+        use_decoder_prompting=True, **conf))
+    model = SwinUnetR(mc)
+    x = jnp.zeros((1, 16, 16, 8, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True)
+    prompt_ckpt = root / "prompt_full_state.ckpt"
+    save_checkpoint(prompt_ckpt, 1, variables)
+
+    result_file = root / "test_result.txt"
+    env, _, log_dir = _script_env(
+        root, yml, PY=sys.executable, CONFIGS=str(yml),
+        RESULT_FILE=str(result_file), PROMPT_CKPT=str(prompt_ckpt),
+        CELL_START="8", CELL_END="8", RUN_NAME="ci")
+    env["LOGS_BASE_DIR"] = str(log_dir)
+    script = ROOT / "example_scripts" / "test_example.sh"
+    r = subprocess.run(["bash", str(script)], capture_output=True, text=True,
+                       env=env, cwd=ROOT, timeout=1500)
+    assert r.returncode == 0, f"test script failed:\n{r.stdout}\n{r.stderr}"
+    scraped = result_file.read_text()
+    assert " iou: " in scraped and " dcc: " in scraped and "+/-" in scraped

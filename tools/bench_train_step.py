@@ -1,30 +1,49 @@
-"""Canonical-config training-step times on the TPU (trace-based).
+"""Canonical-config training-step times + honest MFU on the TPU.
 
 The phase-2 students-teacher step is the north-star metric (BASELINE.md);
-with the canonical attn/proj dropout 0.1 the fused Pallas block now runs
-in training too (counter-hash dropout, ops/prng.py) — previously those
-steps fell back to XLA attention (docs/PERF.md r1: 44.7 ms).
+with the canonical attn/proj dropout 0.1 the fused Pallas block runs in
+training too (counter-hash dropout, ops/prng.py).
+
+MFU accounting (VERDICT r3 item 5): XLA's cost analysis of the measured
+program counts the Pallas backward kernel's CostEstimate flops (a coarse
+DMA-scheduling hint), not the true backward matmul work — so the MFU here
+is computed from the MODEL flops of the reference-equivalent step: the
+same train step lowered on the CPU backend with ``attn_impl='xla'`` and
+remat OFF (no recompute counted, freezing/optimizer structure included),
+read from XLA's analytic HLO cost.  That count is cached in
+``.jax_cache/train_model_flops.json`` and obtained in a CPU subprocess
+(the axon TPU backend exposes no HLO cost analysis).
 
 Usage: python tools/bench_train_step.py [--which downstream|phase2|both]
+       python tools/bench_train_step.py --flops-only --which both  # CPU
 """
 
 import argparse
+import json
 import pathlib
+import subprocess
 import sys
 from argparse import Namespace
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# --flops-only must force the CPU platform BEFORE any backend init.
+_FLOPS_ONLY = "--flops-only" in sys.argv
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path(__file__).resolve().parents[1]
-                      / ".jax_cache"))
+import jax  # noqa: E402
+
+if _FLOPS_ONLY:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from tools.tputime import device_ms
+FLOPS_CACHE = REPO / ".jax_cache" / "train_model_flops.json"
+FLOPS_VERSION = "v1-b2-canonical"
 
 
 def _base_conf(**kw):
@@ -66,17 +85,22 @@ class _Null:
         pass
 
 
-_REMAT = True  # set by main(); canonical steps A/B remat on/off
+def _opt():
+    import optax
+
+    from medical_image_segmentation_with_visual_prompts_tpu.train.common \
+        import adamw
+    tx = optax.inject_hyperparams(adamw)(lr=5e-4, weight_decay=0.1)
+    return tx, None
 
 
-def bench_downstream(batch=2):
-    from medical_image_segmentation_with_visual_prompts_tpu.models import \
-        partition
-    from medical_image_segmentation_with_visual_prompts_tpu.train.segmentation \
-        import SegmentationTrainer
-    from medical_image_segmentation_with_visual_prompts_tpu.models import \
-        SwinUnetR
-    conf = _base_conf(use_checkpoint=_REMAT)
+def build_downstream(batch=2, remat=True, attn_impl="auto"):
+    """Return ``(fn, fargs)`` for the canonical downstream train step."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, partition)
+    from medical_image_segmentation_with_visual_prompts_tpu.train.\
+        segmentation import SegmentationTrainer
+    conf = _base_conf(use_checkpoint=remat, attn_impl=attn_impl)
     tr = SegmentationTrainer(conf, SwinUnetR, None, None, _Null(), _Null())
     variables = tr._init_variables(conf.seg_input_size)
     labels = partition.trainable_labels(tr.model_conf)
@@ -93,45 +117,17 @@ def bench_downstream(batch=2):
     k = jax.random.PRNGKey(0)
     valid = jnp.ones((batch,), jnp.float32)
     fn = lambda *a: step(*a)[3]
-    ms = device_ms(fn, trainable, bs, opt_state, img, msk, k, valid)
-    mfu = _mfu_pct(fn, ms, trainable, bs, opt_state, img, msk, k, valid)
-    print(f"downstream step (batch {batch}, dropout 0.1): {ms:.2f} ms"
-          f"{mfu}")
+    return fn, (trainable, bs, opt_state, img, msk, k, valid), step
 
 
-def _mfu_pct(fn, ms, *args, peak_tflops: float = 197.0) -> str:
-    """Train-step MFU from XLA's own flop count for the WHOLE jitted
-    step (fwd + bwd + optimizer; remat recompute flops are counted by
-    XLA, so the no-remat number is the honest model-flops one)."""
-    try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops <= 0:
-            return ""
-        mfu = flops / (ms * 1e-3) / (peak_tflops * 1e12) * 100
-        return (f"  [xla_flops {flops / 1e9:.1f} G, "
-                f"mfu {mfu:.1f}%]")
-    except Exception:  # noqa: BLE001 - cost analysis is best-effort
-        return ""
-
-
-def _opt():
-    import optax
-    from medical_image_segmentation_with_visual_prompts_tpu.train.common \
-        import adamw
-    tx = optax.inject_hyperparams(adamw)(lr=5e-4, weight_decay=0.1)
-    return tx, None
-
-
-def bench_phase2(batch=2):
-    from medical_image_segmentation_with_visual_prompts_tpu.models import \
-        SwinUnetR, partition
+def build_phase2(batch=2, remat=True, attn_impl="auto"):
+    """Return ``(fn, fargs)`` for the canonical phase-2 train step."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, partition)
     from medical_image_segmentation_with_visual_prompts_tpu.train.\
         students_teacher import StudentsTeacherTrainer
     conf = _base_conf(training_mode="self_supervised_learning_decoder",
-                      use_checkpoint=_REMAT)
+                      use_checkpoint=remat, attn_impl=attn_impl)
     tr = StudentsTeacherTrainer(conf, SwinUnetR, None, None, _Null(), _Null())
     x0 = jnp.zeros((1, *conf.roi_size, 1))
     k = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -161,10 +157,69 @@ def bench_phase2(batch=2):
         tr_, sbs, tp, tbs, os_, bd, kk)[5]["tot"]
     fargs = (trainable, sv.get("batch_stats", {}), tv["params"],
              tv.get("batch_stats", {}), opt_state, batch_d, key)
+    return fn, fargs, step
+
+
+_BUILDERS = {"downstream": build_downstream, "phase2": build_phase2}
+
+
+def _count_flops(which: str, batch: int = 2) -> float:
+    """Analytic model flops of the step (CPU backend, XLA attention,
+    remat off — no recompute, freezing included)."""
+    from medical_image_segmentation_with_visual_prompts_tpu.utils.flops \
+        import lowered_flops
+    _, fargs, step = _BUILDERS[which](batch=batch, remat=False,
+                                      attn_impl="xla")
+    # Lower the FULL step (all outputs): lowering a loss-only wrapper
+    # lets XLA dead-code-eliminate the backward + optimizer and halves
+    # the count.
+    return lowered_flops(step, *fargs)
+
+
+def model_step_flops(which: str, batch: int = 2) -> float:
+    """Cached model-flop count; computed in a CPU subprocess when the
+    current process runs on the TPU backend."""
+    key = f"{FLOPS_VERSION}-{which}"
+    cache = {}
+    if FLOPS_CACHE.exists():
+        cache = json.loads(FLOPS_CACHE.read_text())
+    if key in cache:
+        return cache[key]
+    if jax.default_backend() == "cpu":
+        flops = _count_flops(which, batch)
+    else:
+        out = subprocess.run(
+            [sys.executable, __file__, "--flops-only", "--which", which],
+            capture_output=True, text=True, cwd=REPO, timeout=1800)
+        if out.returncode != 0:
+            raise RuntimeError(f"flops subprocess failed:\n{out.stderr[-2000:]}")
+        flops = json.loads(out.stdout.strip().splitlines()[-1])[which]
+    FLOPS_CACHE.parent.mkdir(exist_ok=True)
+    cache[key] = flops
+    FLOPS_CACHE.write_text(json.dumps(cache, indent=1))
+    return flops
+
+
+def bench(which: str, batch=2, remat=True, mfu=True):
+    from tools.tputime import device_ms
+
+    from medical_image_segmentation_with_visual_prompts_tpu.utils.flops \
+        import chip_peak_tflops
+    fn, fargs, _ = _BUILDERS[which](batch=batch, remat=remat)
     ms = device_ms(fn, *fargs)
-    mfu = _mfu_pct(fn, ms, *fargs)
-    print(f"phase-2 step (batch {batch}, 2 students, dropout 0.1, "
-          f"north-star): {ms:.2f} ms{mfu}")
+    label = {"downstream": "downstream step",
+             "phase2": "phase-2 step (2 students, north-star)"}[which]
+    line = f"{label} (batch {batch}, dropout 0.1): {ms:.2f} ms"
+    if mfu:
+        try:
+            flops = model_step_flops(which, batch)
+            peak = chip_peak_tflops()
+            pct = flops / (ms * 1e-3) / (peak * 1e12) * 100
+            line += (f"  [model {flops / 1e9:.1f} GFLOP, "
+                     f"train MFU {pct:.1f}% of {peak:.0f} TF/s]")
+        except Exception as e:  # noqa: BLE001 - accounting is best-effort
+            line += f"  [mfu accounting failed: {e}]"
+    print(line)
 
 
 if __name__ == "__main__":
@@ -174,9 +229,13 @@ if __name__ == "__main__":
     ap.add_argument("--no-remat", action="store_true",
                     help="use_checkpoint=False (activations fit HBM at "
                          "the canonical batch; remat is pure recompute)")
+    ap.add_argument("--flops-only", action="store_true",
+                    help="print model-flop counts as JSON (CPU backend)")
+    ap.add_argument("--no-mfu", action="store_true")
     args = ap.parse_args()
-    _REMAT = not args.no_remat
-    if args.which in ("downstream", "both"):
-        bench_downstream()
-    if args.which in ("phase2", "both"):
-        bench_phase2()
+    whats = ["downstream", "phase2"] if args.which == "both" else [args.which]
+    if args.flops_only:
+        print(json.dumps({w: _count_flops(w) for w in whats}))
+    else:
+        for w in whats:
+            bench(w, remat=not args.no_remat, mfu=not args.no_mfu)
