@@ -55,6 +55,7 @@ C=384) — each chunk's fp32 score tile dies before the next is built.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -712,7 +713,12 @@ _PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
 
 # Mosaic's scoped-vmem stack limit is 16M; leave 2M for scheduling
 # copies / temps the estimate below cannot see.
-_SCOPED_VMEM_SAFE = 14 * 1024 * 1024
+_SCOPED_VMEM_SAFE = int(float(os.environ.get(
+    "MIVP_VMEM_SAFE_MB", "14")) * 1024 * 1024)
+# The default tracks the compiler's default scoped-VMEM budget (~16M
+# usable; measured OOMs at 17.5-18.8M).  Raising it only makes sense
+# together with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<larger> so
+# deeper (g, hb) tilings actually compile.
 
 
 def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
