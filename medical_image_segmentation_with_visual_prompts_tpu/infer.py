@@ -41,16 +41,32 @@ from .parallel import BucketedInference, window_starts
 from .utils import get_full_configs, load_checkpoint, restore_like
 
 
-def _stitch_labels(runner, roi, volume: np.ndarray) -> np.ndarray:
-    """Crop to stride-aligned size, run bucketed Gaussian inference,
-    argmax, and re-embed (border voxels stay background 0)."""
+def _predict_device(runner, roi, volume: np.ndarray):
+    """Crop to stride-aligned size and run bucketed Gaussian inference;
+    argmax + narrow-int cast stay ON DEVICE so only ``H*W*D`` bytes ever
+    cross the host link (the class-probability volume is num_classes*4x
+    larger — at the measured ~23 MB/s tunnel of this environment that
+    cast alone is most of a second per volume).  Returns the label crop
+    as an UNMATERIALIZED device array plus the crop slices."""
     slices, _, _ = window_starts(volume.shape[:3], roi)
     cropped = np.ascontiguousarray(volume[slices[0], slices[1], slices[2]])
     probs = runner(cropped)
-    pred_crop = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.int16)
-    pred = np.zeros(volume.shape[:3], np.int16)
-    pred[slices[0], slices[1], slices[2]] = pred_crop
+    dtype = jnp.uint8 if probs.shape[-1] <= 256 else jnp.int16
+    return jnp.argmax(probs, axis=-1).astype(dtype), slices
+
+
+def _embed_labels(pred_crop_dev, slices, shape) -> np.ndarray:
+    """Materialize the device label crop (host download happens HERE)
+    and re-embed at full volume shape (border voxels stay background 0)."""
+    pred = np.zeros(shape, np.int16)
+    pred[slices[0], slices[1], slices[2]] = np.asarray(pred_crop_dev)
     return pred
+
+
+def _stitch_labels(runner, roi, volume: np.ndarray) -> np.ndarray:
+    """Crop, infer (device-side argmax), download, re-embed."""
+    pred_crop, slices = _predict_device(runner, roi, volume)
+    return _embed_labels(pred_crop, slices, volume.shape[:3])
 
 
 def segment_volume(conf, variables, volume: np.ndarray,
@@ -159,13 +175,19 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
         loaded.put(None)
 
     def writer():
+        # The writer also OWNS the device->host download (_embed_labels
+        # materializes the label crop): volume i's download and NIfTI
+        # encode overlap volume i+1's upload/compute in the main thread.
         while True:
             item = to_write.get()
             if item is None:
                 return
-            dst, pred = item
+            dst, src_name, pred_dev, slices, shape = item
             try:
+                pred = _embed_labels(pred_dev, slices, shape)
                 save_nifti(str(dst), pred)
+                print(f"{src_name} -> {dst} "
+                      f"(labels: {sorted(int(v) for v in np.unique(pred))})")
             except Exception as e:          # keep draining the queue
                 write_errors.append((dst, e))
 
@@ -186,15 +208,13 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
             n_failed += 1
             continue
         try:
-            pred = _stitch_labels(runner, roi, vol)
+            pred_dev, slices = _predict_device(runner, roi, vol)
         except Exception as e:  # e.g. volume smaller than the roi
             print(f"FAILED inference {src}: {e}")
             n_failed += 1
             continue
-        to_write.put((dst, pred))
+        to_write.put((dst, src.name, pred_dev, slices, vol.shape[:3]))
         n_done += 1
-        print(f"{src.name} -> {dst} "
-              f"(labels: {sorted(int(v) for v in np.unique(pred))})")
     to_write.put(None)
     wt.join()
     lt.join()

@@ -90,12 +90,41 @@ def main():
         save_nifti(str(src), vol)
         pairs.append((src, tmp / f"seg{k}.nii.gz"))
 
+    from medical_image_segmentation_with_visual_prompts_tpu.infer import \
+        make_runner
+
+    # Host-link bandwidth probe: serving is transfer-bound in this
+    # environment (the TPU sits behind a stdio relay), so record the
+    # measured link rate next to the vol/s number.
+    probe = np.random.rand(1 << 20).astype(np.float32)   # 4 MB
+    dev = jax.devices()[0]
     t0 = time.perf_counter()
-    n_done, n_failed = serve_volumes(ns, variables, pairs, chunk=args.chunk)
+    pd = jax.device_put(probe, dev)
+    pd.block_until_ready()
+    h2d = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(pd)
+    d2h = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+    print(f"LINK: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s")
+
+    # Warmup: one volume per distinct bucket (compiles / loads the
+    # program cache), then the timed warm batch on a shared runner.
+    runner = make_runner(ns, variables, chunk=args.chunk)
+    n_shapes = len(set(shapes[: args.n]))
+    t0 = time.perf_counter()
+    serve_volumes(ns, variables, pairs[:n_shapes], chunk=args.chunk,
+                  runner=runner)
+    print(f"WARMUP: {n_shapes} volumes in "
+          f"{time.perf_counter() - t0:.1f}s "
+          f"({runner.compiled_programs} compiled buckets)")
+
+    t0 = time.perf_counter()
+    n_done, n_failed = serve_volumes(ns, variables, pairs, chunk=args.chunk,
+                                     runner=runner)
     dt = time.perf_counter() - t0
     print(f"SERVING: {n_done} ok / {n_failed} failed, "
-          f"{n_done / dt:.3f} vol/s end-to-end "
-          f"({len(set(shapes[:args.n]))} shapes)")
+          f"{n_done / dt:.3f} vol/s end-to-end warm "
+          f"({n_shapes} shapes)")
 
 
 if __name__ == "__main__":
