@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .conv_fold import conv3d_depth_folded, depth_fold_weights
+from .window_attention_pallas import mosaic_params as _mosaic_params
 
 
 def _kernel(x_hbm, wall_ref, aff_ref, bias_ref, o_ref, xs, sem, *,
@@ -179,6 +180,7 @@ def _forward(x2, w2, bias, scale, shift, leaky, out_dtype,
             + b * h * wdt * co * 4,
             transcendentals=0),
         interpret=interpret or _force_interpret(),
+        compiler_params=_mosaic_params(),
     )(xp, wall, aff, bias.reshape(1, co))
 
 
@@ -412,6 +414,7 @@ def _forward_pair(xa2, xb2, wa, wb, bias, scale, shift, leaky, out_dtype,
             + b * h * wdt * co * 4,
             transcendentals=0),
         interpret=interpret or _force_interpret(),
+        compiler_params=_mosaic_params(),
     )(xap, xbp, wa, wb, aff, bias.reshape(1, co))
 
 

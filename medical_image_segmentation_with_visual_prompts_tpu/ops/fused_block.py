@@ -716,9 +716,10 @@ _PARAM_KEYS = ("ln1_scale", "ln1_bias", "wq", "wk", "wv", "wproj", "bproj",
 _SCOPED_VMEM_SAFE = int(float(os.environ.get(
     "MIVP_VMEM_SAFE_MB", "14")) * 1024 * 1024)
 # The default tracks the compiler's default scoped-VMEM budget (~16M
-# usable; measured OOMs at 17.5-18.8M).  Raising it only makes sense
-# together with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<larger> so
-# deeper (g, hb) tilings actually compile.
+# usable; measured OOMs at 17.5-18.8M).  Raising it past 14 also raises
+# Mosaic's per-kernel vmem_limit_bytes to match (every pallas_call
+# passes window_attention_pallas.mosaic_params()) so deeper (g, hb)
+# tilings actually compile.
 
 
 def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
@@ -1040,6 +1041,7 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _wap._FORCE_INTERPRET,
+        compiler_params=_wap.mosaic_params(),
     )(*args)
     return unshift(out) if unshift is not None else out
 
@@ -1231,6 +1233,7 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=2 * bp * num_heads * m * n),
         interpret=interpret or _wap._FORCE_INTERPRET,
+        compiler_params=_wap.mosaic_params(),
     )(*args)
 
 

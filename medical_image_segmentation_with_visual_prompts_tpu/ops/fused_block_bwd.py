@@ -482,6 +482,7 @@ def block_backward(x, dout, tokens, param_tuple, bias, labels, seeds,
             bytes_accessed=3 * x.size * x.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _wap._FORCE_INTERPRET,
+        compiler_params=_wap.mosaic_params(),
     )(*args)
     dx, *dops = outs
     if unshift is not None:

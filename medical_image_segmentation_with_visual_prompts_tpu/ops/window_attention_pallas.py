@@ -89,6 +89,24 @@ def force_interpret() -> bool:
     return _FORCE_INTERPRET
 
 
+def mosaic_params() -> "pltpu.CompilerParams | None":
+    """Per-kernel Mosaic compiler params shared by every pallas_call.
+
+    When the sweep/env raises the repo's scoped-VMEM picker budget past
+    the compiler default (``MIVP_VMEM_SAFE_MB`` > 14), raise Mosaic's own
+    VMEM limit to match (+4 MB scheduling headroom).  Per-kernel
+    ``vmem_limit_bytes`` travels inside the serialized Mosaic payload, so
+    unlike ``--xla_tpu_scoped_vmem_limit_kib`` it survives this
+    environment's remote-compile tunnel (the local process does not even
+    register TPU XLA flags).
+    """
+    mb = float(_os.environ.get("MIVP_VMEM_SAFE_MB", "14"))
+    if mb <= 14:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int((mb + 4) * 1024 * 1024))
+
+
 def on_tpu_path() -> bool:
     """True when kernel code paths should be selected at trace time."""
     import jax
@@ -152,6 +170,7 @@ def _forward_pallas(q, k, v, bias, mask, scale, interpret=False):
             bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _FORCE_INTERPRET,
+        compiler_params=mosaic_params(),
     )(*args)
 
 
@@ -267,6 +286,7 @@ def _forward_packed(q, k, v, bias, mask, scale, num_heads, interpret=False):
             bytes_accessed=(2 * k.size + 2 * q.size) * q.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _FORCE_INTERPRET,
+        compiler_params=mosaic_params(),
     )(*args)
 
 
@@ -449,6 +469,7 @@ def _forward_packed_qkv(y, wq, wk, wv, bias, mask, scale, num_heads, m_len,
             bytes_accessed=2 * y.size * y.dtype.itemsize,
             transcendentals=bp * num_heads * m_len * n),
         interpret=interpret or _FORCE_INTERPRET,
+        compiler_params=mosaic_params(),
     )(*args)
 
 

@@ -7,9 +7,10 @@ issues 4 (heads) x 8 (batched windows) SHORT MXU score/PV sequences of
 m=256 rows, so per-sequence pipeline fill is a first-order cost.
 Deeper head blocks quarter the sequence count but their fp32 score tile
 ([g, hb*m, n]) blows the default ~16M scoped-VMEM limit — this sweep
-raises the limit via ``--xla_tpu_scoped_vmem_limit_kib`` (a per-process
-XLA flag, hence one subprocess per config) plus the repo's
-``MIVP_VMEM_SAFE_MB`` picker budget, and times BOTH flagship stage-0
+raises the limit per kernel via ``MIVP_VMEM_SAFE_MB`` (the repo's picker
+budget, which also sets Mosaic ``vmem_limit_bytes`` — see
+window_attention_pallas.mosaic_params; one subprocess per config since
+the knobs are read at trace time), and times BOTH flagship stage-0
 kernels (unshifted, and shifted+masked with the fused in-kernel window
 shift) by trace aggregation (wall timing through the axon async
 dispatch is unreliable — PERF.md round-2 note).
@@ -85,8 +86,7 @@ def child(g: int, hb: int, reps: int) -> None:
         return us / reps / 1e3
 
     res = {"g": g, "hb": hb,
-           "vmem_mb": os.environ.get("MIVP_VMEM_SAFE_MB", "14"),
-           "scoped_kib": os.environ.get("MIVP_SCOPED_KIB", "default")}
+           "vmem_mb": os.environ.get("MIVP_VMEM_SAFE_MB", "14")}
     if os.environ.get("MIVP_PAIR_KERNEL", "0") not in ("0", ""):
         # Pair kernel: both blocks (unshifted + shifted/masked) in ONE
         # kernel — compare pair_ms against plain_ms + shift_ms.
@@ -144,12 +144,11 @@ def main():
         env["MIVP_FORCE_HB"] = str(hb)
         env["MIVP_VMEM_SAFE_MB"] = str(mb)
         env["MIVP_PAIR_KERNEL"] = "1" if pair else "0"
-        kib = int(mb * 1024) + 2048      # headroom over the estimate
-        env["MIVP_SCOPED_KIB"] = str(kib)
-        flags = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = \
-            f"{flags} --xla_tpu_scoped_vmem_limit_kib={kib}".strip()
-        print(f"--- g={g} hb={hb} vmem={mb}M scoped={kib}KiB"
+        # MIVP_VMEM_SAFE_MB > 14 also raises Mosaic's per-kernel VMEM
+        # limit (window_attention_pallas.mosaic_params) — the portable
+        # replacement for --xla_tpu_scoped_vmem_limit_kib, which this
+        # environment's local process cannot even parse.
+        print(f"--- g={g} hb={hb} vmem={mb}M"
               f"{' pair' if pair else ''}", flush=True)
         r = subprocess.run(
             [sys.executable, __file__, "--child", "--g", str(g),
