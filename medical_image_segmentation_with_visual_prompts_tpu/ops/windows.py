@@ -39,6 +39,15 @@ def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
     b, h, w, d, c = x.shape
     wh, ww, wd = window_size
     p1, p2, p3 = h // wh, w // ww, d // wd
+    if p3 == 1:
+        # Fully-windowed depth (every hot stage): (wd, p3=1, c) is one
+        # contiguous unit, so the relayout collapses to a 6-D transpose
+        # with a wd*c-element inner unit — XLA's transpose emitter tiles
+        # that far better than the 8-D form (device probe:
+        # tools/probe_partition.py).
+        x = x.reshape(b, wh, p1, ww, p2, wd * c)
+        x = x.transpose(0, 2, 4, 1, 3, 5)
+        return x.reshape(b, p1 * p2, wh * ww * wd, c)
     x = x.reshape(b, wh, p1, ww, p2, wd, p3, c)
     # -> [b, p1, p2, p3, wh, ww, wd, c]
     x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
@@ -53,6 +62,11 @@ def window_reverse(x: jnp.ndarray, window_size: Sequence[int],
     wh, ww, wd = window_size
     hp, wp, dp = shape_x
     p1, p2, p3 = hp // wh, wp // ww, dp // wd
+    if p3 == 1:
+        # Depth-merged 6-D inverse (see window_partition).
+        x = x.reshape(b, p1, p2, wh, ww, wd * c)
+        x = x.transpose(0, 3, 1, 4, 2, 5)
+        return x.reshape(b, hp, wp, dp, c)
     x = x.reshape(b, p1, p2, p3, wh, ww, wd, c)
     x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     return x.reshape(b, hp, wp, dp, c)

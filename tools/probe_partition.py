@@ -1,0 +1,123 @@
+"""Device probe: window partition/reverse lowering variants.
+
+Round-3 traced ~7.5 ms/volume of window-partition/reverse + layout
+copies running at 130-680 GB/s (docs/PERF.md roofline) — far off HBM
+SOL.  The partition is an 8-D reshape/transpose with inner contiguous
+unit = C (48 elements, 96 B in bf16).  At every HOT stage the depth
+axis is fully windowed (wd == D, p3 == 1), so (wd, p3, C) is one
+contiguous 192-element unit and the same relayout can be expressed as
+a 6-D transpose with a 4x larger inner unit — XLA's transpose emitter
+tiles that far better.
+
+This probe measures, at the flagship serving stage-0 geometry
+(chunk=16 ROIs, token map 64x64x4, C=48, window (8,8,4), bf16):
+
+  part8 / rev8   — the current 8-D factoring (ops/windows.py)
+  part6 / rev6   — the depth-merged 6-D factoring (same semantics)
+  roundtrip      — partition followed by reverse, both variants
+
+Times are trace-aggregated device µs (wall timing through the async
+axon dispatch is unreliable — PERF.md round-2 note).
+
+Usage: python tools/probe_partition.py [--reps 50]
+"""
+
+import argparse
+import pathlib
+import shutil
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from medical_image_segmentation_with_visual_prompts_tpu.utils.backend \
+    import configure_backend
+
+configure_backend()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from profile_bench import aggregate_trace
+
+B, H, W, D, C = 16, 64, 64, 4, 48
+WIN = (8, 8, 4)
+
+
+def part8(x):
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows \
+        import window_partition
+    return window_partition(x, WIN)
+
+
+def rev8(xw):
+    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows \
+        import window_reverse
+    return window_reverse(xw, WIN, (H, W, D))
+
+
+def part6(x):
+    b, h, w, d, c = x.shape
+    wh, ww, wd = WIN
+    p1, p2 = h // wh, w // ww
+    assert wd == d
+    x = x.reshape(b, wh, p1, ww, p2, wd * c)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, p1 * p2, wh * ww * wd, c)
+
+
+def rev6(xw):
+    b = xw.shape[0]
+    wh, ww, wd = WIN
+    p1, p2 = H // wh, W // ww
+    x = xw.reshape(b, p1, p2, wh, ww, wd * C)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, H, W, D, C)
+
+
+def timed(name, fn, *args, reps):
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    out.block_until_ready()
+    td = pathlib.Path(f"/tmp/mivp_part/{name}")
+    shutil.rmtree(td, ignore_errors=True)
+    td.mkdir(parents=True)
+    with jax.profiler.trace(str(td)):
+        for _ in range(reps):
+            out = jfn(*args)
+        out.block_until_ready()
+    agg, _, _ = aggregate_trace(td)
+    us = sum(dur for nm, (dur, cnt) in agg.items())
+    return us / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=50)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, W, D, C)), jnp.bfloat16)
+    xw = jnp.asarray(
+        rng.normal(size=(B, (H // 8) * (W // 8), 256, C)), jnp.bfloat16)
+
+    # Parity first (exactness of the 6-D factoring).
+    np.testing.assert_array_equal(np.asarray(part6(x)), np.asarray(part8(x)))
+    np.testing.assert_array_equal(np.asarray(rev6(xw)), np.asarray(rev8(xw)))
+    print("parity OK (6-D factoring exact)")
+
+    nbytes = x.size * x.dtype.itemsize
+    for name, fn, a in [("part8", part8, x), ("part6", part6, x),
+                        ("rev8", rev8, xw), ("rev6", rev6, xw),
+                        ("round8", lambda t: rev8(part8(t)), x),
+                        ("round6", lambda t: rev6(part6(t)), x)]:
+        us = timed(name, fn, a, reps=args.reps)
+        mult = 2 if name.startswith(("part", "rev")) else 4
+        gbs = nbytes * mult / (us * 1e3) if us else float("nan")
+        print(f"{name:7s} {us:8.1f} us  ({gbs:6.1f} GB/s eff)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

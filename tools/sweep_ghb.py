@@ -150,10 +150,14 @@ def main():
         # environment's local process cannot even parse.
         print(f"--- g={g} hb={hb} vmem={mb}M"
               f"{' pair' if pair else ''}", flush=True)
-        r = subprocess.run(
-            [sys.executable, __file__, "--child", "--g", str(g),
-             "--hb", str(hb), "--reps", str(args.reps)],
-            env=env, capture_output=True, text=True, timeout=1200)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--child", "--g", str(g),
+                 "--hb", str(hb), "--reps", str(args.reps)],
+                env=env, capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            print("TIMEOUT (2400s) — skipping config", flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("RESULT"):
                 print(line, flush=True)
