@@ -50,6 +50,22 @@ def _fused_block_disabled() -> bool:
     return os.environ.get("MIVP_NO_FUSED_BLOCK", "0") not in ("0", "")
 
 
+def content_indices(dims, window_size, paddings, fold_axes) -> np.ndarray:
+    """Flat full-window indices of the CONTENT tokens under pad
+    folding (the kept rows/cols of the assembled bias/labels; also the
+    coordinate metadata for the bias fold, ops/bias_fold.py)."""
+    keep = []
+    for i in range(3):
+        if i in fold_axes:
+            lo = paddings[2 * i]
+            keep.append(np.arange(lo, lo + dims[i]))
+        else:
+            keep.append(np.arange(window_size[i]))
+    grid = np.zeros(tuple(window_size), dtype=bool)
+    grid[np.ix_(keep[0], keep[1], keep[2])] = True
+    return np.where(grid.reshape(-1))[0]
+
+
 def fold_geometry(dims, window_size, fold_axes, paddings):
     """(content window ``wc``, effective paddings) for pad-folding: folded
     axes use the feature extent as the window and are never materially
@@ -185,16 +201,7 @@ class SwinTransformerBlock(nn.Module):
         from ..ops.fused_block import FOLD_COUNT, FOLD_KEY, fold_width
         # Content-token index set within the full window's (ih, iw, id)
         # row-major ordering.
-        keep = []
-        for i in range(3):
-            if i in fold_axes:
-                lo = paddings[2 * i]
-                keep.append(np.arange(lo, lo + dims[i]))
-            else:
-                keep.append(np.arange(window_size[i]))
-        grid = np.zeros(tuple(window_size), dtype=bool)
-        grid[np.ix_(keep[0], keep[1], keep[2])] = True
-        ci = np.where(grid.reshape(-1))[0]          # content token indices
+        ci = content_indices(dims, window_size, paddings, fold_axes)
         m_c = int(ci.size)
         n_full = int(np.prod(window_size))
         n_pad = n_full - m_c
@@ -265,10 +272,12 @@ class SwinTransformerBlock(nn.Module):
         bias, labels, fold_mode = self.folded_assembly(
             dims, window_size, shift_size, paddings, fold_axes, n_tokens)
         head_dim = self.hidden_channels // self.num_heads
+        ci = content_indices(dims, window_size, paddings, fold_axes)
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias, labels, head_dim ** -0.5, self.num_heads,
             fold_mode=fold_mode, shift_geom=shift_geom,
+            fold_meta=(tuple(window_size), tuple(int(v) for v in ci)),
             **self._drop_kw(deterministic))
 
     def _drop_kw(self, deterministic: bool) -> dict:
@@ -302,7 +311,9 @@ class SwinTransformerBlock(nn.Module):
         return fused_swin_block(
             x_win, p[0] if p is not None else None, self._block_params(),
             bias_rows, labels, head_dim ** -0.5, self.num_heads,
-            shift_geom=shift_geom, **self._drop_kw(deterministic))
+            shift_geom=shift_geom,
+            fold_meta=(tuple(self.window_size), None),
+            **self._drop_kw(deterministic))
 
     def plain_assembly(self, shape_x, n_content, n_tokens, shift_size):
         """(bias ``[1,1,H,Mc,N]``, labels np|None, FOLD_NONE) for the
@@ -442,7 +453,8 @@ class SwinTransformerBlock(nn.Module):
             x_win = fused_swin_block(
                 x_win, p[0] if p is not None else None,
                 self._block_params(), bias_rows, labels,
-                head_dim ** -0.5, self.num_heads, **drop_kw)
+                head_dim ** -0.5, self.num_heads,
+                fold_meta=(tuple(window_size), None), **drop_kw)
         else:
             if p is not None:
                 p_b = jnp.broadcast_to(p[:, None].astype(x_win.dtype),
@@ -631,12 +643,17 @@ class ConsecutiveSwinBlocks(nn.Module):
                                               (4,), jnp.uint32),
                 attn_drop=self.attn_drop, proj_drop=self.proj_drop)
         head_dim = self.hidden_channels // self.num_heads
+        if fold_axes:
+            ci = content_indices(shape_x, w, paddings, fold_axes)
+            fold_meta = (tuple(w), tuple(int(v) for v in ci))
+        else:
+            fold_meta = (tuple(w), None)
         return fused_swin_pair(
             x_win, p0[0] if p0 is not None else None,
             p1[0] if p1 is not None else None,
             b0._block_params(), b1._block_params(), bias0, bias1, labels,
             head_dim ** -0.5, self.num_heads, (fm0, fm1),
-            shift_geom=shift_geom, **drop_kw)
+            shift_geom=shift_geom, fold_meta=fold_meta, **drop_kw)
 
     def __call__(self, x: jnp.ndarray, p=(None, None),
                  deterministic: bool = True) -> jnp.ndarray:

@@ -307,18 +307,22 @@ def _token_rolls(x, plan, g: int, read: bool):
 
 def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
            wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
-           bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_a, seed_p,
-           w0, *,
+           bm_ref, bias_ref, vq_ref, kext_ref, lq_ref, lk_ref,
+           colmask_ref, seed_a, seed_p, w0, *,
            scale: float, num_heads: int, group: int, n_tokens: int,
            with_mask: bool, fold_mode: int, n_fold: int,
            head_block: int, attn_drop: float, proj_drop: float,
            fused_kv: bool, mask_dma: bool = False,
-           mask_classes: bool = False):
+           mask_classes: bool = False, bias_folded: bool = False):
     """One full Swin block body on an in-VMEM fp32 ``[g, m, c]`` tile —
     shared by the single-block kernel and the pair kernel (which runs
     two phases back to back with the window shift rolled in between).
     ``seed_a``/``seed_p`` are the block's dropout seed scalars; ``w0``
     the block's first GLOBAL window index (uint32, dropout hashing).
+    ``bias_folded``: the position bias rides the score matmul's free
+    contraction lanes (ops/bias_fold.py) — ``vq_ref``/``kext_ref`` are
+    the fold tables, the weight operands are lane-extended, and the
+    per-head-block bias-add pass is skipped (``bias_ref`` is a dummy).
     Returns the fp32 block output tile."""
     from .prng import keep_mask
     g, h, i = group, num_heads, n_tokens
@@ -332,6 +336,9 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     # sees only V), and the projection weight has zero rows for the K
     # lanes.  Same MXU pass structure, half the k/v projection passes.
     cw = 2 * c if fused_kv else c
+    if bias_folded:
+        from .bias_fold import fold_lane_width
+        cw = fold_lane_width(cw)
     # Prompt-token K/V rows are per-batch constants: their LN and Wk/Wv
     # projections are hoisted OUT of the kernel (computed once per layer
     # call in _forward) and DMA'd in pre-projected — the in-kernel k/v
@@ -391,19 +398,29 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         k = v = kv
     else:
         k = dot2(yv16, wkv_ref[0].astype(jnp.bfloat16)) \
-            .astype(jnp.bfloat16).reshape(g, nk, c)
+            .astype(jnp.bfloat16).reshape(g, nk, cw)
         v = dot2(yv16, wkv_ref[1].astype(jnp.bfloat16)) \
-            .astype(jnp.bfloat16).reshape(g, nk, c)
+            .astype(jnp.bfloat16).reshape(g, nk, cw)
         if fold_mode == FOLD_COUNT:
             rows = jax.lax.broadcasted_iota(jnp.int32, (g, nk, 1), 1)
             k = jnp.where(rows == m, jnp.bfloat16(0), k)
         if i > 0:
-            ktok = ktok_ref[:].astype(jnp.bfloat16)       # [i, c]
+            ktok = ktok_ref[:].astype(jnp.bfloat16)       # [i, cw]
             vtok = vtok_ref[:].astype(jnp.bfloat16)
             k = jnp.concatenate(
                 [k, jnp.concatenate([ktok[None]] * g, axis=0)], axis=1)
             v = jnp.concatenate(
                 [v, jnp.concatenate([vtok[None]] * g, axis=0)], axis=1)
+    if bias_folded:
+        # k rows gain the fold components in lanes [cw_base, cw): the
+        # k-side one-hots / token scores / fold-column markers
+        # (ops/bias_fold.py).  Their lanes are exactly zero in k (zero
+        # weight columns), so the add is an exact lane fill.
+        kx = kext_ref[:].astype(jnp.bfloat16)[None]        # [1, n, cw]
+        if fused_kv:
+            k = v = kv = kv + kx
+        else:
+            k = k + kx
     # fused_kv: colmask_ref is [2, h, cw] — plane 0 masks each head's K
     # lanes (for q), plane 1 its V lanes (for the attention output).
     if fused_kv:
@@ -440,13 +457,25 @@ def _phase(x, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
     late_div = _late_div_enabled(fast)
     for h0 in range(0, num_heads, head_block):
         hb = min(head_block, num_heads - h0)
-        qp = jnp.concatenate([q * colmask[hh][None, None, :]
-                              for hh in range(h0, h0 + hb)],
-                             axis=1)                      # [g, hb*m, cw]
+        if bias_folded:
+            # q rows gain the per-head q-side fold tables in the free
+            # lanes; the score matmul then produces q·k + bias in its
+            # fp32 accumulator directly (no bias-add pass, no [H*M, N]
+            # bias block in VMEM).
+            qp = jnp.concatenate(
+                [q * colmask[hh][None, None, :]
+                 + vq_ref[hh].astype(jnp.bfloat16)[None]
+                 for hh in range(h0, h0 + hb)], axis=1)   # [g, hb*m, cw]
+        else:
+            qp = jnp.concatenate([q * colmask[hh][None, None, :]
+                                  for hh in range(h0, h0 + hb)],
+                                 axis=1)                  # [g, hb*m, cw]
         s = jax.lax.dot_general(
             qp, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [g, hb*m, n]
-        s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
+        if not bias_folded:
+            s = s + bias_ref[h0 * m:(h0 + hb) * m, :] \
+                .astype(jnp.float32)[None]
         if with_mask:
             s = s * jnp.concatenate([mask] * hb, axis=1)
         if late_div:
@@ -524,13 +553,13 @@ def _x_index(plan, g: int):
 
 def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
                   wkv_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref,
-                  bm_ref, bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
-                  o_ref, *,
+                  bm_ref, bias_ref, vq_ref, kext_ref, lq_ref, lk_ref,
+                  colmask_ref, seed_ref, o_ref, *,
                   scale: float, num_heads: int, group: int, n_tokens: int,
                   with_mask: bool, fold_mode: int, n_fold: int,
                   head_block: int, attn_drop: float, proj_drop: float,
                   fused_kv: bool, shift_plan=None, mask_dma: bool = False,
-                  mask_classes: bool = False):
+                  mask_classes: bool = False, bias_folded: bool = False):
     g = group
     # Global index of this block's first window (uint32 for hashing).
     w0 = (pl.program_id(0) * g).astype(jnp.uint32)
@@ -543,14 +572,15 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
         x = _token_rolls(x, shift_plan, g, read=True)
     out = _phase(x, ktok_ref, vtok_ref, ln1s_ref,
                  ln1b_ref, wq_ref, wkv_ref, wp_ref, bp_ref, ln2s_ref,
-                 ln2b_ref, wm_ref, bm_ref, bias_ref, lq_ref, lk_ref,
+                 ln2b_ref, wm_ref, bm_ref, bias_ref, vq_ref, kext_ref,
+                 lq_ref, lk_ref,
                  colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0,
                  scale=scale, num_heads=num_heads, group=g,
                  n_tokens=n_tokens, with_mask=with_mask,
                  fold_mode=fold_mode, n_fold=n_fold, head_block=head_block,
                  attn_drop=attn_drop, proj_drop=proj_drop,
                  fused_kv=fused_kv, mask_dma=mask_dma,
-                 mask_classes=mask_classes)
+                 mask_classes=mask_classes, bias_folded=bias_folded)
     if shift_plan is not None:
         # Undo the read roll so the (same-permuted) output write lands
         # the block back in unshifted window-major order.  Roll while
@@ -562,16 +592,16 @@ def _block_kernel(x_ref, ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref,
 def _pair_kernel(x_ref,
                  ktok0_ref, vtok0_ref, ln1s0_ref, ln1b0_ref, wq0_ref,
                  wkv0_ref, wp0_ref, bp0_ref, ln2s0_ref, ln2b0_ref, wm0_ref,
-                 bm0_ref, bias0_ref,
+                 bm0_ref, bias0_ref, vq0_ref, kext0_ref,
                  ktok1_ref, vtok1_ref, ln1s1_ref, ln1b1_ref, wq1_ref,
                  wkv1_ref, wp1_ref, bp1_ref, ln2s1_ref, ln2b1_ref, wm1_ref,
-                 bm1_ref, bias1_ref,
+                 bm1_ref, bias1_ref, vq1_ref, kext1_ref,
                  lq_ref, lk_ref, colmask_ref, seed_ref, o_ref, *,
                  scale: float, num_heads: int, group: int, n_tokens: int,
                  with_mask: bool, fold_modes: tuple, n_fold: int,
                  head_block: int, attn_drop: float, proj_drop: float,
                  fused_kv: bool, shift_plan=None, mask_dma: bool = False,
-                 mask_classes: bool = False):
+                 mask_classes: bool = False, bias_folded: bool = False):
     """Both blocks of a Swin pair in ONE kernel.
 
     The cyclic shift is a window-to-window bijection, so one grid step
@@ -587,7 +617,7 @@ def _pair_kernel(x_ref,
                   n_tokens=n_tokens, n_fold=n_fold, head_block=head_block,
                   attn_drop=attn_drop, proj_drop=proj_drop,
                   fused_kv=fused_kv, mask_dma=mask_dma,
-                  mask_classes=mask_classes)
+                  mask_classes=mask_classes, bias_folded=bias_folded)
     # Block 1 runs on SOURCE windows: hash dropout with their indices.
     if shift_plan is not None and any(shift_plan[2]):
         w0_src = _src_w0(shift_plan, g)
@@ -596,7 +626,8 @@ def _pair_kernel(x_ref,
     x = x_ref[:]
     x1 = _phase(x.astype(jnp.float32), ktok0_ref, vtok0_ref, ln1s0_ref,
                 ln1b0_ref, wq0_ref, wkv0_ref, wp0_ref, bp0_ref, ln2s0_ref,
-                ln2b0_ref, wm0_ref, bm0_ref, bias0_ref, None, None,
+                ln2b0_ref, wm0_ref, bm0_ref, bias0_ref, vq0_ref, kext0_ref,
+                None, None,
                 colmask_ref, seed_ref[0, 0], seed_ref[0, 1], w0_src,
                 with_mask=False, fold_mode=fold_modes[0], **common)
     # Round to the array dtype exactly as the two-kernel path does at
@@ -610,7 +641,8 @@ def _pair_kernel(x_ref,
     x2 = _phase(x1, ktok1_ref, vtok1_ref, ln1s1_ref,
                 ln1b1_ref, wq1_ref,
                 wkv1_ref, wp1_ref, bp1_ref, ln2s1_ref, ln2b1_ref, wm1_ref,
-                bm1_ref, bias1_ref, lq_ref, lk_ref, colmask_ref,
+                bm1_ref, bias1_ref, vq1_ref, kext1_ref, lq_ref, lk_ref,
+                colmask_ref,
                 seed_ref[0, 2], seed_ref[0, 3], w0,
                 with_mask=with_mask, fold_mode=fold_modes[1], **common)
     if shift_plan is not None:
@@ -815,21 +847,37 @@ def _colmask_np(num_heads: int, c: int, cw: int,
             cm[0, hh, hh * dh:(hh + 1) * dh] = 1.0
             cm[1, hh, c + hh * dh:c + (hh + 1) * dh] = 1.0
     else:
-        cm = np.zeros((num_heads, c), np.float32)
+        # ``cw`` may exceed ``c`` under the bias fold (lane-extended
+        # operands); the extension lanes stay zero in both planes.
+        cm = np.zeros((num_heads, cw), np.float32)
         for hh in range(num_heads):
             cm[hh, hh * dh:(hh + 1) * dh] = 1.0
     return cm
 
 
 def _operand_args(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
-                  bias):
-    """The 13 operand ARRAYS of one block, in kernel-signature order —
+                  bias, fold_meta=None, fold_mode=0, n_fold=0,
+                  folded=False):
+    """The 15 operand ARRAYS of one block, in kernel-signature order —
     a pure function of (params, tokens, bias) so the kernel-backward
     path can ``jax.vjp`` it to map operand cotangents back to
-    param/token/bias cotangents."""
+    param/token/bias cotangents.
+
+    ``folded`` (ops/bias_fold.py): the weight/token operands are
+    lane-extended to the next K-tile multiple, the bias slot becomes a
+    dummy (the bias rides the matmul via the vq/kext fold tables in
+    slots 14/15); unfolded, vq/kext are dummies.  The fold-table slots
+    carry ZERO cotangents by design (the bias gradient is exactly
+    ``ds * mask``, accumulated into the bias slot by the backward —
+    see ops/bias_fold.py docstring), so the vjp mapping here stays
+    correct in both modes."""
     # Prompt-token K/V: per-batch constants, so LN + Wk/Wv run ONCE here
     # (tiny [i, c] matmuls) instead of once per grid step inside the
     # kernel — the in-kernel k/v matmuls cover content (+fold) rows only.
+    cwx = cw
+    if folded:
+        from .bias_fold import fold_lane_width
+        cwx = fold_lane_width(cw)
     if i > 0:
         tln = _ln(tokens.astype(jnp.float32),
                   params["ln1_scale"].astype(jnp.float32)[None, :],
@@ -845,53 +893,91 @@ def _operand_args(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
     else:
         ktok = vtok = jnp.zeros((1, c), jnp.bfloat16)
     zeros_w = jnp.zeros((c, c), params["wq"].dtype)
+
+    def extend(a, width, axis=1):
+        pad = width - a.shape[axis]
+        if pad <= 0:
+            return a
+        shape = list(a.shape)
+        shape[axis] = pad
+        return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=axis)
+
     if fused_kv:
         # [Wq | 0]: q's V lanes come out zero, so scores contract over
         # the K lanes only; [0 ; Wproj]: the projection ignores the
         # garbage K lanes of the attention output.
-        wq_arg = jnp.concatenate([params["wq"], zeros_w], axis=1)
-        wkv = jnp.concatenate([params["wk"], params["wv"]], axis=1)
-        wp_arg = jnp.concatenate(
-            [zeros_w.astype(params["wproj"].dtype), params["wproj"]], axis=0)
-        ktok_arg = vtok_arg = jnp.concatenate([ktok, vtok], axis=1)
+        wq_arg = extend(jnp.concatenate([params["wq"], zeros_w], axis=1),
+                        cwx)
+        wkv = extend(jnp.concatenate([params["wk"], params["wv"]], axis=1),
+                     cwx)
+        wp_arg = extend(jnp.concatenate(
+            [zeros_w.astype(params["wproj"].dtype), params["wproj"]],
+            axis=0), cwx, axis=0)
+        ktok_arg = vtok_arg = extend(
+            jnp.concatenate([ktok, vtok], axis=1), cwx)
     else:
-        wq_arg = params["wq"]
-        wkv = jnp.stack([params["wk"], params["wv"]], axis=0)  # [2, c, c]
-        wp_arg = params["wproj"]
-        ktok_arg, vtok_arg = ktok, vtok
+        wq_arg = extend(params["wq"], cwx)
+        wkv = jnp.stack([extend(params["wk"], cwx),
+                         extend(params["wv"], cwx)], axis=0)  # [2, c, cwx]
+        wp_arg = extend(params["wproj"], cwx, axis=0)
+        ktok_arg, vtok_arg = extend(ktok, cwx), extend(vtok, cwx)
+    if folded:
+        from .bias_fold import fold_tables
+        vq, kext = fold_tables(bias, fold_meta, num_heads, m, n_fold, i,
+                               fold_mode, cw)
+        bias_arg = jnp.zeros((1, 1), jnp.float32)
+    else:
+        vq = jnp.zeros((1, 1, 1), jnp.bfloat16)
+        kext = jnp.zeros((1, 1), jnp.bfloat16)
+        bias_arg = bias.reshape(num_heads * m, n)
     v2 = lambda a: a.reshape(1, -1)
     return [ktok_arg, vtok_arg,
             v2(params["ln1_scale"]), v2(params["ln1_bias"]), wq_arg,
             wkv, wp_arg, v2(params["bproj"]),
             v2(params["ln2_scale"]), v2(params["ln2_bias"]),
             params["wmlp"], v2(params["bmlp"]),
-            bias.reshape(num_heads * m, n)]
+            bias_arg, vq, kext]
 
 
-def _operand_specs(i, c, cw, fused_kv, num_heads, m, n):
+def _operand_specs(i, c, cw, fused_kv, num_heads, m, n, folded=False):
     """BlockSpecs matching :func:`_operand_args`, all block-invariant."""
+    cwx = cw
+    if folded:
+        from .bias_fold import fold_lane_width
+        cwx = fold_lane_width(cw)
     vec = lambda ln: pl.BlockSpec((1, ln), lambda idx: (0, 0),
                                   memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    return [fix(max(i, 1), cw), fix(max(i, 1), cw), vec(c), vec(c),
-            fix(c, cw), fix(c, 2 * c) if fused_kv else fix(2, c, c),
-            fix(cw, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
-            pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
-                         memory_space=pltpu.VMEM)]
+    if folded:
+        bias_spec, vq_spec, kext_spec = \
+            fix(1, 1), fix(num_heads, m, cwx), fix(n, cwx)
+    else:
+        bias_spec = pl.BlockSpec((num_heads * m, n), lambda idx: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        vq_spec, kext_spec = fix(1, 1, 1), fix(1, 1)
+    return [fix(max(i, 1), cwx), fix(max(i, 1), cwx), vec(c), vec(c),
+            fix(c, cwx),
+            fix(c, cwx) if fused_kv else fix(2, c, cwx),
+            fix(cwx, c), vec(c), vec(c), vec(c), fix(c, c), vec(c),
+            bias_spec, vq_spec, kext_spec]
 
 
 def _block_operands(params, tokens, i, c, cw, fused_kv, num_heads, m, n,
-                    bias):
-    """(specs, args) for ONE block's 13 weight/bias kernel operands, in
+                    bias, fold_meta=None, fold_mode=0, n_fold=0,
+                    folded=False):
+    """(specs, args) for ONE block's 15 weight/bias kernel operands, in
     kernel-signature order (ktok, vtok, ln1 scale/bias, wq, wkv, wproj,
-    bproj, ln2 scale/bias, wmlp, bmlp, assembled bias) — the single
-    definition of the fused-KV operand layout ([Wq | 0], [0 ; Wproj],
-    concatenated prompt K/V), shared by the single-block and the pair
-    builders so their numerics can never diverge."""
-    specs = _operand_specs(i, c, cw, fused_kv, num_heads, m, n)
+    bproj, ln2 scale/bias, wmlp, bmlp, assembled bias, vq/kext fold
+    tables) — the single definition of the fused-KV operand layout
+    ([Wq | 0], [0 ; Wproj], concatenated prompt K/V), shared by the
+    single-block and the pair builders so their numerics can never
+    diverge."""
+    specs = _operand_specs(i, c, cw, fused_kv, num_heads, m, n,
+                           folded=folded)
     args = _operand_args(params, tokens, i, c, cw, fused_kv, num_heads,
-                         m, n, bias)
+                         m, n, bias, fold_meta=fold_meta,
+                         fold_mode=fold_mode, n_fold=n_fold, folded=folded)
     return specs, args
 
 
@@ -963,8 +1049,10 @@ def _label_operands(labels, m, n, g, p, mask_dma, mask_plan=None):
 
 def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
              n_fold, seeds=None, attn_drop=0.0, proj_drop=0.0,
-             interpret=False, shift_geom=None, mask_plan=None):
+             interpret=False, shift_geom=None, mask_plan=None,
+             fold_meta=None):
     import os as _os
+    from .bias_fold import fold_applicable, fold_lane_width
     bp, m, c = x.shape
     i = 0 if tokens is None else tokens.shape[0]
     n = m + n_fold + i
@@ -976,6 +1064,9 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
     # would DOUBLE the scores pass count at C=96).
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
+    folded = fold_applicable(fold_meta, num_heads, m, n_fold, i,
+                             fold_mode, cw)
+    cwk = fold_lane_width(cw) if folded else cw
     mask_dma = labels is not None and _mask_dma()
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0,
@@ -1004,7 +1095,7 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
 
             x = _shift(x, False)
             unshift = lambda t: _shift(t, True)
-    colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
+    colmask_np = _colmask_np(num_heads, c, cwk, fused_kv)
     lab_specs, lab_args, deduped = _label_operands(
         labels, m, n, g, p, mask_dma, mask_plan=mask_plan)
     kernel = functools.partial(
@@ -1012,14 +1103,17 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
         n_tokens=i, with_mask=labels is not None, fold_mode=fold_mode,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
-        mask_dma=mask_dma, mask_classes=deduped)
+        mask_dma=mask_dma, mask_classes=deduped, bias_folded=folded)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     colmask_spec = fix(*colmask_np.shape)
     blk_specs, blk_args = _block_operands(params, tokens, i, c, cw,
-                                          fused_kv, num_heads, m, n, bias)
+                                          fused_kv, num_heads, m, n, bias,
+                                          fold_meta=fold_meta,
+                                          fold_mode=fold_mode,
+                                          n_fold=n_fold, folded=folded)
     in_specs = [x_spec] + blk_specs
     args = [x] + blk_args
     in_specs += lab_specs
@@ -1070,28 +1164,29 @@ def _reference_with_shift(x, tokens, params, bias, labels, scale, num_heads,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                  num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                 proj_drop, interpret, shift_geom, mask_plan):
+                 proj_drop, interpret, shift_geom, mask_plan, fold_meta):
     params = dict(zip(_PARAM_KEYS, param_tuple))
     return _forward(x, tokens if has_tokens else None, params, bias, labels,
                     scale, num_heads, fold_mode, n_fold, seeds, attn_drop,
-                    proj_drop, interpret, shift_geom, mask_plan)
+                    proj_drop, interpret, shift_geom, mask_plan, fold_meta)
 
 
 def _fused_block_fwd(x, tokens, param_tuple, bias, labels, seeds, scale,
                      num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                     proj_drop, interpret, shift_geom, mask_plan):
+                     proj_drop, interpret, shift_geom, mask_plan, fold_meta):
     out = _fused_block(x, tokens, param_tuple, bias, labels, seeds, scale,
                        num_heads, has_tokens, fold_mode, n_fold, attn_drop,
-                       proj_drop, interpret, shift_geom, mask_plan)
+                       proj_drop, interpret, shift_geom, mask_plan,
+                       fold_meta)
     return out, (x, tokens, param_tuple, bias, labels, seeds)
 
 
 def _fused_block_bwd(scale, num_heads, has_tokens, fold_mode, n_fold,
                      attn_drop, proj_drop, interpret, shift_geom, mask_plan,
-                     res, g):
+                     fold_meta, res, g):
     x, tokens, param_tuple, bias, labels, seeds = res
     from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
                                   kernel_bwd_fits)
@@ -1163,7 +1258,8 @@ def pair_kernel_available(bp: int, p, num_heads: int, m: int, i: int,
 def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
                   labels, scale, num_heads, fold_modes, n_fold, seeds=None,
                   attn_drop=0.0, proj_drop=0.0, interpret=False,
-                  shift_geom=None, mask_plan=None):
+                  shift_geom=None, mask_plan=None, fold_meta=None):
+    from .bias_fold import fold_applicable, fold_lane_width
     bp, m, c = x.shape
     i = 0 if tokens0 is None else tokens0.shape[0]
     n = m + n_fold + i
@@ -1171,6 +1267,12 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
     p = labels.shape[0] if labels is not None else None
     fused_kv = 2 * c <= 128
     cw = 2 * c if fused_kv else c
+    # Both phases fold or neither (shared colmask width / kernel flag).
+    folded = (fold_applicable(fold_meta, num_heads, m, n_fold, i,
+                              fold_modes[0], cw)
+              and fold_applicable(fold_meta, num_heads, m, n_fold, i,
+                                  fold_modes[1], cw))
+    cwk = fold_lane_width(cw) if folded else cw
     mask_dma = labels is not None and _mask_dma()
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0,
@@ -1188,13 +1290,14 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
             x1 = _forward(x, tokens0, params0, bias0, None, scale,
                           num_heads, fold_modes[0], n_fold,
                           None if seeds is None else seeds[:2],
-                          attn_drop, proj_drop, interpret)
+                          attn_drop, proj_drop, interpret,
+                          fold_meta=fold_meta)
             return _forward(x1, tokens1, params1, bias1, labels, scale,
                             num_heads, fold_modes[1], n_fold,
                             None if seeds is None else seeds[2:],
                             attn_drop, proj_drop, interpret, shift_geom,
-                            mask_plan)
-    colmask_np = _colmask_np(num_heads, c, cw, fused_kv)
+                            mask_plan, fold_meta)
+    colmask_np = _colmask_np(num_heads, c, cwk, fused_kv)
     lab_specs, lab_args, deduped = _label_operands(
         labels, m, n, g, p, mask_dma, mask_plan=mask_plan)
     kernel = functools.partial(
@@ -1202,15 +1305,19 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
         n_tokens=i, with_mask=labels is not None, fold_modes=fold_modes,
         n_fold=n_fold, head_block=hb, attn_drop=attn_drop,
         proj_drop=proj_drop, fused_kv=fused_kv, shift_plan=plan,
-        mask_dma=mask_dma, mask_classes=deduped)
+        mask_dma=mask_dma, mask_classes=deduped, bias_folded=folded)
     x_spec = pl.BlockSpec((g, m, c), _x_index(plan, g),
                           memory_space=pltpu.VMEM)
     fix = lambda *shape: pl.BlockSpec(shape, lambda idx: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     s0, a0 = _block_operands(params0, tokens0, i, c, cw, fused_kv,
-                             num_heads, m, n, bias0)
+                             num_heads, m, n, bias0, fold_meta=fold_meta,
+                             fold_mode=fold_modes[0], n_fold=n_fold,
+                             folded=folded)
     s1, a1 = _block_operands(params1, tokens1, i, c, cw, fused_kv,
-                             num_heads, m, n, bias1)
+                             num_heads, m, n, bias1, fold_meta=fold_meta,
+                             fold_mode=fold_modes[1], n_fold=n_fold,
+                             folded=folded)
     in_specs = [x_spec] + s0 + s1
     args = [x] + a0 + a1
     in_specs += lab_specs
@@ -1266,34 +1373,35 @@ def _pair_reference(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
     return out
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19))
 def _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                 labels, seeds, scale, num_heads, has_tokens, fold_modes,
                 n_fold, attn_drop, proj_drop, interpret, shift_geom,
-                mask_plan):
+                mask_plan, fold_meta):
     return _forward_pair(
         x, tokens0 if has_tokens else None, tokens1 if has_tokens else None,
         dict(zip(_PARAM_KEYS, ptuple0)), dict(zip(_PARAM_KEYS, ptuple1)),
         bias0, bias1, labels, scale, num_heads, fold_modes, n_fold, seeds,
-        attn_drop, proj_drop, interpret, shift_geom, mask_plan)
+        attn_drop, proj_drop, interpret, shift_geom, mask_plan, fold_meta)
 
 
 def _fused_pair_fwd(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                     labels, seeds, scale, num_heads, has_tokens, fold_modes,
                     n_fold, attn_drop, proj_drop, interpret, shift_geom,
-                    mask_plan):
+                    mask_plan, fold_meta):
     out = _fused_pair(x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                       labels, seeds, scale, num_heads, has_tokens,
                       fold_modes, n_fold, attn_drop, proj_drop, interpret,
-                      shift_geom, mask_plan)
+                      shift_geom, mask_plan, fold_meta)
     return out, (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1,
                  labels, seeds)
 
 
 def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
                     attn_drop, proj_drop, interpret, shift_geom, mask_plan,
-                    res, g):
+                    fold_meta, res, g):
     (x, tokens0, tokens1, ptuple0, ptuple1, bias0, bias1, labels,
      seeds) = res
     from .fused_block_bwd import (block_backward, kernel_bwd_enabled,
@@ -1317,7 +1425,7 @@ def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
         x1 = _forward(x, tokens0 if has_tokens else None, params0, bias0,
                       None, scale, num_heads, fold_modes[0], n_fold,
                       None if seeds is None else seeds[:2], attn_drop,
-                      proj_drop, interpret)
+                      proj_drop, interpret, fold_meta=fold_meta)
         dx1, dtok1, dpt1, dbias1, dlab, _ = block_backward(
             x1, g, tokens1, ptuple1, bias1, labels,
             None if seeds is None else seeds[2:], scale, num_heads,
@@ -1353,7 +1461,7 @@ def fused_swin_pair(x_win: jnp.ndarray, tokens0, tokens1, params0: dict,
                     fold_modes=(FOLD_NONE, FOLD_NONE),
                     shift_geom=None, dropout_seeds=None,
                     attn_drop: float = 0.0, proj_drop: float = 0.0,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, fold_meta=None) -> jnp.ndarray:
     """Run a full Swin block PAIR (no-shift block, then shifted block) in
     one kernel — the shift lives between the two phases as in-VMEM token
     rolls over index_map-permuted blocks, so the first block's output
@@ -1383,13 +1491,18 @@ def fused_swin_pair(x_win: jnp.ndarray, tokens0, tokens1, params0: dict,
         attn_drop = proj_drop = 0.0
     if shift_geom is not None:
         shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
+    if fold_meta is not None:
+        window_size, ci = fold_meta
+        fold_meta = (tuple(int(v) for v in window_size),
+                     None if ci is None else tuple(int(v) for v in ci))
     mask_plan = _static_mask_plan(labels, p, n, shift_geom)
     out = _fused_pair(xf, tok0, tok1, pt0, pt1,
                       bias0.reshape(num_heads, m, n),
                       bias1.reshape(num_heads, m, n), lab, dropout_seeds,
                       scale, num_heads, tokens0 is not None,
                       tuple(fold_modes), n_fold, float(attn_drop),
-                      float(proj_drop), interpret, shift_geom, mask_plan)
+                      float(proj_drop), interpret, shift_geom, mask_plan,
+                      fold_meta)
     return out.reshape(b, p, m, c)
 
 
@@ -1418,7 +1531,7 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
                      dropout_seeds: Optional[jnp.ndarray] = None,
                      attn_drop: float = 0.0, proj_drop: float = 0.0,
                      interpret: bool = False,
-                     shift_geom=None) -> jnp.ndarray:
+                     shift_geom=None, fold_meta=None) -> jnp.ndarray:
     """Run the full block on windowed content tokens.
 
     Args:
@@ -1459,9 +1572,13 @@ def fused_swin_block(x_win: jnp.ndarray, tokens: Optional[jnp.ndarray],
         attn_drop = proj_drop = 0.0
     if shift_geom is not None:
         shift_geom = tuple(tuple(int(v) for v in t) for t in shift_geom)
+    if fold_meta is not None:
+        window_size, ci = fold_meta
+        fold_meta = (tuple(int(v) for v in window_size),
+                     None if ci is None else tuple(int(v) for v in ci))
     mask_plan = _static_mask_plan(labels, p, n, shift_geom)
     out = _fused_block(xf, tok_arg, param_tuple, bias, lab, dropout_seeds,
                        scale, num_heads, tokens is not None, fold_mode,
                        n_fold, float(attn_drop), float(proj_drop), interpret,
-                       shift_geom, mask_plan)
+                       shift_geom, mask_plan, fold_meta)
     return out.reshape(b, p, m, c)

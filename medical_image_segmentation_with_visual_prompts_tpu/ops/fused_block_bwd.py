@@ -120,10 +120,12 @@ def _ln_bwd(dy, x, scale_row):
 def _bwd_kernel(x_ref, dout_ref,
                 ktok_ref, vtok_ref, ln1s_ref, ln1b_ref, wq_ref, wkv_ref,
                 wp_ref, bp_ref, ln2s_ref, ln2b_ref, wm_ref, bm_ref,
-                bias_ref, lq_ref, lk_ref, colmask_ref, seed_ref,
+                bias_ref, vq_ref, kext_ref, lq_ref, lk_ref, colmask_ref,
+                seed_ref,
                 dx_ref, dktok_ref, dvtok_ref, dln1s_ref, dln1b_ref,
                 dwq_ref, dwkv_ref, dwp_ref, dbp_ref, dln2s_ref,
-                dln2b_ref, dwm_ref, dbm_ref, dbias_ref, *,
+                dln2b_ref, dwm_ref, dbm_ref, dbias_ref, dvq_ref,
+                dkext_ref, *,
                 scale: float, num_heads: int, group: int, n_tokens: int,
                 with_mask: bool, fold_mode: int, n_fold: int,
                 head_block: int, attn_drop: float, proj_drop: float,
@@ -140,9 +142,13 @@ def _bwd_kernel(x_ref, dout_ref,
 
     @pl.when(step == 0)
     def _zero_accs():
+        # dvq/dkext stay zero: the bias-fold tables carry no cotangent
+        # by design (dbias = ds * mask is the exact total bias gradient
+        # — ops/bias_fold.py docstring); the backward always runs with
+        # the direct bias operand.
         for ref in (dktok_ref, dvtok_ref, dln1s_ref, dln1b_ref, dwq_ref,
                     dwkv_ref, dwp_ref, dbp_ref, dln2s_ref, dln2b_ref,
-                    dwm_ref, dbm_ref, dbias_ref):
+                    dwm_ref, dbm_ref, dbias_ref, dvq_ref, dkext_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     x = x_ref[:].astype(jnp.float32)

@@ -47,15 +47,24 @@ WIN = (8, 8, 4)
 
 
 def part8(x):
-    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows \
-        import window_partition
-    return window_partition(x, WIN)
+    # The pre-round-4 8-D factoring, inlined: ops/windows.py now picks
+    # the 6-D form itself whenever p3 == 1, so the old lowering must be
+    # reproduced here to keep the A/B honest.
+    b, h, w, d, c = x.shape
+    wh, ww, wd = WIN
+    p1, p2, p3 = h // wh, w // ww, d // wd
+    x = x.reshape(b, wh, p1, ww, p2, wd, p3, c)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, p1 * p2 * p3, wh * ww * wd, c)
 
 
 def rev8(xw):
-    from medical_image_segmentation_with_visual_prompts_tpu.ops.windows \
-        import window_reverse
-    return window_reverse(xw, WIN, (H, W, D))
+    b = xw.shape[0]
+    wh, ww, wd = WIN
+    p1, p2, p3 = H // wh, W // ww, D // wd
+    x = xw.reshape(b, p1, p2, p3, wh, ww, wd, C)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, H, W, D, C)
 
 
 def part6(x):
