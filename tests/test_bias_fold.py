@@ -176,6 +176,55 @@ def test_folded_block_gradients(monkeypatch):
                                rtol=0, atol=4e-2)
 
 
+def test_fold_with_dropout_matches_reference(monkeypatch):
+    # Training path: counter-based dropout inside the folded kernel; the
+    # backward kernel recomputes with the direct bias (same dropout
+    # masks, bf16-class value delta) — forward must match the jnp
+    # reference, which regenerates the identical masks.
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+        fused_block as fb)
+    monkeypatch.setenv("MIVP_BIAS_FOLD", "1")
+    c, heads, window, tokens = 8, 2, (4, 4, 2), 3
+    m = int(np.prod(window))
+    bp = 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, bp, m, c)), jnp.float32)
+    tok = jnp.asarray(rng.normal(size=(tokens, c)), jnp.float32)
+    params = {k: jnp.asarray(rng.normal(size=(c, c)), jnp.float32)
+              for k in ("wq", "wk", "wv", "wproj", "wmlp")}
+    params.update({k: jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+                   for k in ("ln1_scale", "ln1_bias", "bproj",
+                             "ln2_scale", "ln2_bias", "bmlp")})
+    bias = jnp.asarray(rng.normal(size=(1, 1, heads, m, m + tokens)),
+                       jnp.float32)
+    # A separable bias is required for the fold: build one.
+    ax = [jnp.asarray(rng.normal(size=(heads, w_, w_)), jnp.float32)
+          for w_ in window]
+    coords = np.stack(np.unravel_index(np.arange(m), window), 1)
+    b3 = (ax[0][:, coords[:, 0]][:, :, coords[:, 0]]
+          + ax[1][:, coords[:, 1]][:, :, coords[:, 1]]
+          + ax[2][:, coords[:, 2]][:, :, coords[:, 2]]) / 3.0
+    tokcol = jnp.asarray(rng.normal(size=(heads, 1, tokens)), jnp.float32)
+    bias = jnp.concatenate(
+        [b3, jnp.broadcast_to(tokcol, (heads, m, tokens))],
+        axis=-1)[None, None]
+    seeds = jnp.asarray([7, 9], jnp.uint32)
+    scale = (c // heads) ** -0.5
+    got = fb.fused_swin_block(
+        x, tok, params, bias, None, scale, heads,
+        dropout_seeds=seeds, attn_drop=0.1, proj_drop=0.1,
+        interpret=True, fold_meta=(window, None))
+    want = fb._block_reference(
+        x.reshape(bp, m, c), tok, params,
+        bias.reshape(heads, m, m + tokens), None, scale, heads,
+        seeds=seeds, attn_drop=0.1, proj_drop=0.1)
+    w = np.asarray(want)
+    # Unit-normal synthetic params give ~15-magnitude outputs (no LN
+    # realism) — compare at bf16 tolerance relative to the output scale.
+    np.testing.assert_allclose(np.asarray(got).reshape(bp, m, c), w,
+                               rtol=0, atol=4e-2 * np.abs(w).max())
+
+
 def test_pair_kernel_fold_matches_two_kernel(monkeypatch):
     # The pair kernel and the two-kernel path must stay BITWISE equal
     # with the fold on (same folded phase body, same rounding points).

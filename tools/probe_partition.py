@@ -86,6 +86,69 @@ def rev6(xw):
     return x.reshape(b, H, W, D, C)
 
 
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl, pltpu
+
+
+def part_pl(x):
+    """Pallas relayout: one pass, natural-layout read -> window-major
+    write.  The permutation happens in VMEM (the DMA reads each (b, p1)
+    slab once at full stride-p2 burst width wd*C = 384 B)."""
+    pl, pltpu = _pl()
+    b, hh, ww_, d, c = x.shape
+    wh, ww, wd = WIN
+    p1, p2 = hh // wh, ww_ // ww
+    m = wh * ww * wd
+    x6 = x.reshape(b, wh, p1, ww, p2, wd * c)
+
+    def kern(x_ref, o_ref):
+        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd*c]
+        t = t.transpose(2, 0, 1, 3)              # [p2, wh, ww, wd*c]
+        o_ref[0] = t.reshape(p2, m, c)
+
+    return pl.pallas_call(
+        kern, grid=(b, p1),
+        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd * c),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, p2, m, c),
+                               lambda ib, ip: (ib, ip, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, m, c), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x6)
+
+
+def rev_pl(xw):
+    """Inverse Pallas relayout: window-major read -> natural write."""
+    pl, pltpu = _pl()
+    b = xw.shape[0]
+    wh, ww, wd = WIN
+    p1, p2 = H // wh, W // ww
+    m = wh * ww * wd
+
+    def kern(x_ref, o_ref):
+        t = x_ref[0]                             # [p2, m, c]
+        t = t.reshape(p2, wh, ww, wd * C)
+        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3)  # [wh, ww, p2, wd*c]
+
+    out = pl.pallas_call(
+        kern, grid=(b, p1),
+        in_specs=[pl.BlockSpec((1, p2, m, C),
+                               lambda ib, ip: (ib, ip, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd * C),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd * C),
+                                       xw.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(xw)
+    return out.reshape(b, H, W, D, C)
+
+
 def timed(name, fn, *args, reps):
     jfn = jax.jit(fn)
     out = jfn(*args)
@@ -115,13 +178,20 @@ def main():
     # Parity first (exactness of the 6-D factoring).
     np.testing.assert_array_equal(np.asarray(part6(x)), np.asarray(part8(x)))
     np.testing.assert_array_equal(np.asarray(rev6(xw)), np.asarray(rev8(xw)))
-    print("parity OK (6-D factoring exact)")
+    np.testing.assert_array_equal(np.asarray(part_pl(x)),
+                                  np.asarray(part8(x)))
+    np.testing.assert_array_equal(np.asarray(rev_pl(xw)),
+                                  np.asarray(rev8(xw)))
+    print("parity OK (6-D factoring + Pallas relayout exact)")
 
     nbytes = x.size * x.dtype.itemsize
     for name, fn, a in [("part8", part8, x), ("part6", part6, x),
+                        ("partpl", part_pl, x),
                         ("rev8", rev8, xw), ("rev6", rev6, xw),
+                        ("revpl", rev_pl, xw),
                         ("round8", lambda t: rev8(part8(t)), x),
-                        ("round6", lambda t: rev6(part6(t)), x)]:
+                        ("round6", lambda t: rev6(part6(t)), x),
+                        ("roundpl", lambda t: rev_pl(part_pl(t)), x)]:
         us = timed(name, fn, a, reps=args.reps)
         mult = 2 if name.startswith(("part", "rev")) else 4
         gbs = nbytes * mult / (us * 1e3) if us else float("nan")
