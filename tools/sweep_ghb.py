@@ -35,8 +35,12 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
 # Flagship stage-0 geometry (PERF.md roofline: the 4 dominant kernels).
+# Round 4: the window is the REAL stage-0 (8,8,4) — the earlier
+# (16,16,1) stand-in had the same m/n/c but its 33-component bias
+# decomposition exceeds the free K-tile lanes, so the bias fold
+# (ops/bias_fold.py, MIVP_BIAS_FOLD) could never engage in the sweep.
 BP, M, C, HEADS, TOKENS = 1024, 256, 48, 4, 64
-GRID, WC, SHIFT = (4, 4, 4), (16, 16, 1), (8, 8, 0)
+GRID, WC, SHIFT = (4, 4, 1), (8, 8, 4), (4, 4, 0)
 
 
 def child(g: int, hb: int, reps: int) -> None:
@@ -86,7 +90,8 @@ def child(g: int, hb: int, reps: int) -> None:
         return us / reps / 1e3
 
     res = {"g": g, "hb": hb,
-           "vmem_mb": os.environ.get("MIVP_VMEM_SAFE_MB", "14")}
+           "vmem_mb": os.environ.get("MIVP_VMEM_SAFE_MB", "14"),
+           "fold": os.environ.get("MIVP_BIAS_FOLD", "0")}
     if os.environ.get("MIVP_PAIR_KERNEL", "0") not in ("0", ""):
         # Pair kernel: both blocks (unshifted + shifted/masked) in ONE
         # kernel — compare pair_ms against plain_ms + shift_ms.
@@ -94,14 +99,15 @@ def child(g: int, hb: int, reps: int) -> None:
             fused_block import fused_swin_pair
         fn_pair = jax.jit(lambda xx, tt, bb: fused_swin_pair(
             xx, tt, tt, params, params, bb, bb, labels, scale, HEADS,
-            shift_geom=(GRID, WC, SHIFT)))
+            shift_geom=(GRID, WC, SHIFT), fold_meta=(WC, None)))
         res["pair_ms"] = round(timed("pair", fn_pair, x, tok, bias), 4)
     else:
         fn_plain = jax.jit(lambda xx, tt, bb: fused_swin_block(
-            xx, tt, params, bb, None, scale, HEADS))
+            xx, tt, params, bb, None, scale, HEADS,
+            fold_meta=(WC, None)))
         fn_shift = jax.jit(lambda xx, tt, bb: fused_swin_block(
             xx, tt, params, bb, labels, scale, HEADS,
-            shift_geom=(GRID, WC, SHIFT)))
+            shift_geom=(GRID, WC, SHIFT), fold_meta=(WC, None)))
         res["plain_ms"] = round(timed("plain", fn_plain, x, tok, bias), 4)
         res["shift_ms"] = round(timed("shift", fn_shift, x, tok, bias), 4)
     print("RESULT " + json.dumps(res), flush=True)
@@ -126,30 +132,33 @@ def main():
         for tok in args.configs.split(","):
             parts = tok.split(":")
             g, hb, mb = int(parts[0]), int(parts[1]), float(parts[2])
-            pair = len(parts) > 3 and parts[3] == "pair"
-            configs.append((g, hb, mb, pair))
+            pair = "pair" in parts[3:]
+            fold = "fold" in parts[3:]
+            configs.append((g, hb, mb, pair, fold))
     else:
         configs = [
-            (8, 1, 14, False),     # round-3 production pick (baseline)
-            (8, 2, 52, False),     # halve sequence count
-            (4, 2, 28, False),
-            (4, 4, 52, False),     # quarter sequence count
-            (2, 4, 28, False),
-            (8, 1, 52, True),      # pair kernel at full g (r3 lost on VMEM)
-            (8, 2, 60, True),
+            (8, 1, 14, False, False),  # round-3 production pick (baseline)
+            (8, 1, 14, False, True),   # bias fold, kernel-level A/B
+            (8, 2, 52, False, False),  # halve sequence count
+            (8, 2, 52, False, True),
+            (4, 4, 52, False, True),   # quarter sequence count
+            (8, 1, 52, True, False),   # pair kernel at full g
+            (8, 1, 52, True, True),
         ]
-    for g, hb, mb, pair in configs:
+    for g, hb, mb, pair, fold in configs:
         env = dict(os.environ)
         env["MIVP_FORCE_G"] = str(g)
         env["MIVP_FORCE_HB"] = str(hb)
         env["MIVP_VMEM_SAFE_MB"] = str(mb)
         env["MIVP_PAIR_KERNEL"] = "1" if pair else "0"
+        env["MIVP_BIAS_FOLD"] = "1" if fold else "0"
         # MIVP_VMEM_SAFE_MB > 14 also raises Mosaic's per-kernel VMEM
         # limit (window_attention_pallas.mosaic_params) — the portable
         # replacement for --xla_tpu_scoped_vmem_limit_kib, which this
         # environment's local process cannot even parse.
         print(f"--- g={g} hb={hb} vmem={mb}M"
-              f"{' pair' if pair else ''}", flush=True)
+              f"{' pair' if pair else ''}{' fold' if fold else ''}",
+              flush=True)
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--child", "--g", str(g),
