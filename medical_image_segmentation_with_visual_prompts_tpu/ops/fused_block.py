@@ -836,6 +836,55 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
         forced_hb and num_heads % forced_hb == 0) else 1
 
 
+# Device-tuned tiling table (tools/sweep_ghb.py at the REAL stage-0
+# window, docs/PERF.md round 4): geometries with a measured-better
+# tiling that needs more scoped VMEM than the compiler default.  The
+# extra budget is granted PER CALL via Mosaic's vmem_limit_bytes —
+# raising the global env knob instead re-tiles every other kernel too
+# and measurably loses at model level.  Keyed (c, m); value
+# (g, hb, vmem_limit_bytes).
+_TILE_TABLE = {
+    (48, 256): (8, 2, 44 * 1024 * 1024),   # plain -2.3%, shift -5.3%
+}
+
+
+def _tile_table_enabled() -> bool:
+    """``MIVP_TILE_TABLE=1`` opts in.
+
+    Default OFF: the table's hb=2@44M entry wins 2-5% at kernel level
+    but LOSES ~6.5% at model level (12.93 vs 13.83 vol/s, same-session
+    A/B) — granting the hot kernels a bigger Mosaic VMEM budget starves
+    the scheduler's cross-op DMA overlap even when no other kernel's
+    tiling changes.  Isolated-kernel sweeps cannot see this; only full-
+    bench A/Bs decide VMEM-raising configs (docs/PERF.md round 4)."""
+    return os.environ.get("MIVP_TILE_TABLE", "0") not in ("0", "")
+
+
+def _pick_tiling(bp: int, p, num_heads: int, m: int, n: int,
+                 with_mask: bool, c: int, fused_kv: bool,
+                 with_dropout: bool = False, with_shift: bool = False,
+                 with_pair: bool = False, mask_dma: bool = False):
+    """(g, hb, per-call Mosaic vmem_limit_bytes | None).
+
+    Consults the device-tuned :data:`_TILE_TABLE` first (explicit env
+    forces and dropout-carrying training calls keep the generic
+    picker — the table entries are measured on the dropout-free
+    serving geometry)."""
+    if (_tile_table_enabled() and not with_pair and not with_dropout
+            and not int(os.environ.get("MIVP_FORCE_G", "0"))
+            and not int(os.environ.get("MIVP_FORCE_HB", "0"))):
+        ent = _TILE_TABLE.get((c, m))
+        if ent is not None:
+            g, hb, limit = ent
+            if bp % g == 0 and (p is None or p % g == 0) \
+                    and num_heads % hb == 0:
+                return g, hb, limit
+    g, hb = _pick_g_hb(bp, p, num_heads, m, n, with_mask, c, fused_kv,
+                       with_dropout=with_dropout, with_shift=with_shift,
+                       with_pair=with_pair, mask_dma=mask_dma)
+    return g, hb, None
+
+
 def _colmask_np(num_heads: int, c: int, cw: int,
                 fused_kv: bool) -> np.ndarray:
     """Per-head lane masks.  fused_kv: plane 0 masks each head's K lanes
@@ -1068,10 +1117,10 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
                              fold_mode, cw)
     cwk = fold_lane_width(cw) if folded else cw
     mask_dma = labels is not None and _mask_dma()
-    g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
-                       fused_kv, with_dropout=attn_drop > 0.0,
-                       with_shift=shift_geom is not None,
-                       mask_dma=mask_dma)
+    g, hb, vmem_limit = _pick_tiling(
+        bp, p, num_heads, m, n, labels is not None, c, fused_kv,
+        with_dropout=attn_drop > 0.0, with_shift=shift_geom is not None,
+        mask_dma=mask_dma)
     # Fused window shift (``shift_geom = (grid, wc, shift)``): the caller
     # passes UNSHIFTED window-major x; the kernel absorbs the cyclic
     # shift (index_map window permutation + in-VMEM token rolls) when
@@ -1135,7 +1184,7 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=bp * num_heads * m * n),
         interpret=interpret or _wap._FORCE_INTERPRET,
-        compiler_params=_wap.mosaic_params(),
+        compiler_params=_wap.mosaic_params(vmem_limit),
     )(*args)
     return unshift(out) if unshift is not None else out
 

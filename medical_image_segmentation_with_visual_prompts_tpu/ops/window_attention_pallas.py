@@ -89,7 +89,7 @@ def force_interpret() -> bool:
     return _FORCE_INTERPRET
 
 
-def mosaic_params() -> "pltpu.CompilerParams | None":
+def mosaic_params(vmem_limit_bytes=None) -> "pltpu.CompilerParams | None":
     """Per-kernel Mosaic compiler params shared by every pallas_call.
 
     When the sweep/env raises the repo's scoped-VMEM picker budget past
@@ -99,7 +99,15 @@ def mosaic_params() -> "pltpu.CompilerParams | None":
     unlike ``--xla_tpu_scoped_vmem_limit_kib`` it survives this
     environment's remote-compile tunnel (the local process does not even
     register TPU XLA flags).
+
+    ``vmem_limit_bytes``: explicit PER-CALL limit (the tuned tiling
+    table, fused_block._pick_tiling) — raising one hot kernel's budget
+    without perturbing every other kernel's tiling, which is how the
+    round-4 global-env A/B lost 7.5% model-level while winning 12%
+    kernel-level (docs/PERF.md).
     """
+    if vmem_limit_bytes is not None:
+        return pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit_bytes))
     mb = float(_os.environ.get("MIVP_VMEM_SAFE_MB", "14"))
     if mb <= 14:
         return None
