@@ -50,29 +50,33 @@ def _on_tpu() -> bool:
 
 
 def _partition_pallas(x: jnp.ndarray, window_size) -> jnp.ndarray:
+    # Rank-7 formulation: the lane dim stays C end to end (a wd*c -> c
+    # lane split is an unsupported Mosaic shape cast, device-probed);
+    # the kernel body is ONE leading-dim transpose, and the m-merge is
+    # a free trace-level reshape on the dense output.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, h, w, d, c = x.shape
     wh, ww, wd = window_size
     p1, p2 = h // wh, w // ww
-    m = wh * ww * wd
-    x6 = x.reshape(b, wh, p1, ww, p2, wd * c)
+    x7 = x.reshape(b, wh, p1, ww, p2, wd, c)
 
     def kern(x_ref, o_ref):
-        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd*c]
-        t = t.transpose(2, 0, 1, 3)              # [p2, wh, ww, wd*c]
-        o_ref[0] = t.reshape(p2, m, c)
+        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd, c]
+        o_ref[0] = t.transpose(2, 0, 1, 3, 4)    # [p2, wh, ww, wd, c]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd * c),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd, c),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, p2, m, c),
-                               lambda ib, ip: (ib, ip, 0, 0),
+        out_specs=pl.BlockSpec((1, p2, wh, ww, wd, c),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, m, c), x.dtype),
-    )(x6)
+        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, wh, ww, wd, c),
+                                       x.dtype),
+    )(x7)
+    return out.reshape(b, p1 * p2, wh * ww * wd, c)
 
 
 def _reverse_pallas(xw: jnp.ndarray, window_size, shape_x) -> jnp.ndarray:
@@ -82,23 +86,23 @@ def _reverse_pallas(xw: jnp.ndarray, window_size, shape_x) -> jnp.ndarray:
     wh, ww, wd = window_size
     hp, wp, dp = shape_x
     p1, p2 = hp // wh, wp // ww
+    x7 = xw.reshape(b, p1 * p2, wh, ww, wd, c)
 
     def kern(x_ref, o_ref):
-        t = x_ref[0]                             # [p2, m, c]
-        t = t.reshape(p2, wh, ww, wd * c)
-        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3)  # [wh, ww, p2, wd*c]
+        t = x_ref[0]                             # [p2, wh, ww, wd, c]
+        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3, 4)
 
     out = pl.pallas_call(
         kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, p2, m, c),
-                               lambda ib, ip: (ib, ip, 0, 0),
+        in_specs=[pl.BlockSpec((1, p2, wh, ww, wd, c),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd * c),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd, c),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd * c),
+        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd, c),
                                        xw.dtype),
-    )(xw)
+    )(x7)
     return out.reshape(b, hp, wp, dp, c)
 
 

@@ -93,59 +93,114 @@ def _pl():
 
 
 def part_pl(x):
-    """Pallas relayout: one pass, natural-layout read -> window-major
-    write.  The permutation happens in VMEM (the DMA reads each (b, p1)
-    slab once at full stride-p2 burst width wd*C = 384 B)."""
+    """Pallas relayout, rank-7: lanes stay C end to end (a wd*c -> c
+    lane split is an unsupported Mosaic shape cast — probed 2026-08-21);
+    the kernel is one leading-dim transpose, the m-merge happens as a
+    free trace-level reshape outside."""
     pl, pltpu = _pl()
     b, hh, ww_, d, c = x.shape
     wh, ww, wd = WIN
     p1, p2 = hh // wh, ww_ // ww
-    m = wh * ww * wd
-    x6 = x.reshape(b, wh, p1, ww, p2, wd * c)
+    x7 = x.reshape(b, wh, p1, ww, p2, wd, c)
 
     def kern(x_ref, o_ref):
-        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd*c]
-        t = t.transpose(2, 0, 1, 3)              # [p2, wh, ww, wd*c]
-        o_ref[0] = t.reshape(p2, m, c)
+        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd, c]
+        o_ref[0] = t.transpose(2, 0, 1, 3, 4)    # [p2, wh, ww, wd, c]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd * c),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd, c),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, p2, m, c),
-                               lambda ib, ip: (ib, ip, 0, 0),
+        out_specs=pl.BlockSpec((1, p2, wh, ww, wd, c),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, m, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, wh, ww, wd, c),
+                                       x.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(x6)
+    )(x7)
+    return out.reshape(b, p1 * p2, wh * ww * wd, c)
+
+
+def part_dma(x):
+    """Pure-DMA variant: the permutation is entirely BlockSpec index
+    arithmetic (identity kernel body), one window per grid step."""
+    pl, pltpu = _pl()
+    b, hh, ww_, d, c = x.shape
+    wh, ww, wd = WIN
+    p1, p2 = hh // wh, ww_ // ww
+    x7 = x.reshape(b, wh, p1, ww, p2, wd, c)
+
+    def kern(x_ref, o_ref):
+        o_ref[0, 0] = x_ref[0, :, 0, :, 0]
+
+    out = pl.pallas_call(
+        kern, grid=(b, p1 * p2),
+        in_specs=[pl.BlockSpec(
+            (1, wh, 1, ww, 1, wd, c),
+            lambda ib, ip: (ib, 0, ip // p2, 0, ip % p2, 0, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, wh, ww, wd, c),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, wh, ww, wd, c),
+                                       x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x7)
+    return out.reshape(b, p1 * p2, wh * ww * wd, c)
 
 
 def rev_pl(xw):
-    """Inverse Pallas relayout: window-major read -> natural write."""
+    """Inverse rank-7 Pallas relayout: window-major read -> natural."""
     pl, pltpu = _pl()
     b = xw.shape[0]
     wh, ww, wd = WIN
     p1, p2 = H // wh, W // ww
-    m = wh * ww * wd
+    x7 = xw.reshape(b, p1 * p2, wh, ww, wd, C)
 
     def kern(x_ref, o_ref):
-        t = x_ref[0]                             # [p2, m, c]
-        t = t.reshape(p2, wh, ww, wd * C)
-        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3)  # [wh, ww, p2, wd*c]
+        t = x_ref[0]                             # [p2, wh, ww, wd, c]
+        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3, 4)
 
     out = pl.pallas_call(
         kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, p2, m, C),
-                               lambda ib, ip: (ib, ip, 0, 0),
+        in_specs=[pl.BlockSpec((1, p2, wh, ww, wd, C),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd * C),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd, C),
+                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd * C),
+        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd, C),
                                        xw.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(xw)
+    )(x7)
+    return out.reshape(b, H, W, D, C)
+
+
+def rev_dma(xw):
+    """Pure-DMA inverse (identity body, index-map permutation)."""
+    pl, pltpu = _pl()
+    b = xw.shape[0]
+    wh, ww, wd = WIN
+    p1, p2 = H // wh, W // ww
+    x7 = xw.reshape(b, p1 * p2, wh, ww, wd, C)
+
+    def kern(x_ref, o_ref):
+        o_ref[0, :, 0, :, 0] = x_ref[0, 0]
+
+    out = pl.pallas_call(
+        kern, grid=(b, p1 * p2),
+        in_specs=[pl.BlockSpec((1, 1, wh, ww, wd, C),
+                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, wh, 1, ww, 1, wd, C),
+            lambda ib, ip: (ib, 0, ip // p2, 0, ip % p2, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd, C),
+                                       xw.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x7)
     return out.reshape(b, H, W, D, C)
 
 
@@ -178,19 +233,20 @@ def main():
     # Parity first (exactness of the 6-D factoring).
     np.testing.assert_array_equal(np.asarray(part6(x)), np.asarray(part8(x)))
     np.testing.assert_array_equal(np.asarray(rev6(xw)), np.asarray(rev8(xw)))
-    np.testing.assert_array_equal(np.asarray(part_pl(x)),
-                                  np.asarray(part8(x)))
-    np.testing.assert_array_equal(np.asarray(rev_pl(xw)),
-                                  np.asarray(rev8(xw)))
-    print("parity OK (6-D factoring + Pallas relayout exact)")
+    for fn in (part_pl, part_dma):
+        np.testing.assert_array_equal(np.asarray(fn(x)),
+                                      np.asarray(part8(x)))
+    for fn in (rev_pl, rev_dma):
+        np.testing.assert_array_equal(np.asarray(fn(xw)),
+                                      np.asarray(rev8(xw)))
+    print("parity OK (6-D factoring + Pallas relayouts exact)")
 
     nbytes = x.size * x.dtype.itemsize
     for name, fn, a in [("part8", part8, x), ("part6", part6, x),
-                        ("partpl", part_pl, x),
+                        ("partpl", part_pl, x), ("partdma", part_dma, x),
                         ("rev8", rev8, xw), ("rev6", rev6, xw),
-                        ("revpl", rev_pl, xw),
+                        ("revpl", rev_pl, xw), ("revdma", rev_dma, xw),
                         ("round8", lambda t: rev8(part8(t)), x),
-                        ("round6", lambda t: rev6(part6(t)), x),
                         ("roundpl", lambda t: rev_pl(part_pl(t)), x)]:
         us = timed(name, fn, a, reps=args.reps)
         mult = 2 if name.startswith(("part", "rev")) else 4
