@@ -63,10 +63,13 @@ FOLD_DEAD = -1e30
 
 
 def bias_fold_enabled() -> bool:
-    """``MIVP_BIAS_FOLD=0`` disables the in-matmul bias fold.
+    """``MIVP_BIAS_FOLD=1`` opts into the in-matmul bias fold.
 
-    Default ON: device-validated (tools/tpu_validate.py) and A/B'd in
-    docs/PERF.md round 4."""
+    Default OFF: device-validated (tools/tpu_validate.py, all arms
+    PASS) but wall-clock NEUTRAL — the bias-add pass it eliminates was
+    already hidden behind the MXU pipeline (full-bench and kernel-level
+    A/Bs, docs/PERF.md round 4).  Kept for geometries where the freed
+    [H*M, N] fp32 VMEM block matters."""
     return os.environ.get("MIVP_BIAS_FOLD", "0") not in ("0", "")
 
 
