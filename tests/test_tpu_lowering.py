@@ -172,3 +172,48 @@ def test_rank8_dilated_window_blockspec_lowers_for_tpu():
     x = jnp.zeros((B, TH * P1, TW * P2, TD * P3, C), jnp.bfloat16)
     w = jnp.zeros((C, C), jnp.bfloat16)
     _export_tpu(run, x, w)
+
+
+def test_bias_fold_flagship_lowers_for_tpu(monkeypatch):
+    """The opt-in in-matmul bias fold (ops/bias_fold.py) lowers for TPU
+    across the whole flagship forward — guards the lane-extended
+    operand layouts and the per-head fma against rot while the default
+    stays off."""
+    from __graft_entry__ import _flagship_conf
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        SwinUnetR, prefill_bias_cache)
+
+    monkeypatch.setenv("MIVP_BIAS_FOLD", "1")
+    conf = _flagship_conf(compute_dtype="bfloat16")
+    model = SwinUnetR(conf)
+    roi = (128, 128, 8)
+    x = jnp.zeros((4, *roi, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1], deterministic=True)
+    variables = prefill_bias_cache(model, variables, roi, 1)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+
+    def fwd(xx):
+        return model.apply(variables, xx, deterministic=True)["downstream"]
+
+    _export_tpu(fwd, x)
+
+
+def test_pallas_partition_lowers_for_tpu(monkeypatch):
+    """The opt-in rank-7 Pallas window relayout (MIVP_PALLAS_PART) and
+    its permutation custom_vjp lower for TPU."""
+    from medical_image_segmentation_with_visual_prompts_tpu.ops import (
+        windows)
+
+    monkeypatch.setenv("MIVP_PALLAS_PART", "1")
+    monkeypatch.setattr(windows, "_on_tpu", lambda: True)
+    x = jnp.zeros((2, 64, 64, 4, 48), jnp.bfloat16)
+
+    def roundtrip(xx):
+        xw = windows.window_partition(xx, (8, 8, 4))
+        return windows.window_reverse(xw, (8, 8, 4), (64, 64, 4))
+
+    _export_tpu(roundtrip, x)
+    _export_tpu(jax.grad(lambda xx: roundtrip(xx).astype(
+        jnp.float32).sum()), x)
