@@ -48,6 +48,10 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 # "aligned" (default, framework-native) or "reference" (evaluating
 # imported reference checkpoints — pad-ALL-axes quirk, slower).
 PAD_MODE = os.environ.get("BENCH_PAD_MODE", "aligned")
+# Sliding-window stride factor: windows per volume scale ~1/f^3 (80 at
+# the 0.5 parity default, 27 at 0.75 — quality deltas recorded in
+# BASELINE.md "Stitched-mode quality").
+STRIDE = float(os.environ.get("BENCH_STRIDE", "0.5"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "10"))
 
 
@@ -80,10 +84,11 @@ def _build_run(attn_impl, fold_head_hw):
 
     rng = np.random.default_rng(0)
     vol_np = rng.normal(0.3, 0.2, size=(*VOLUME, 1)).astype(np.float32)
-    slices, starts, grid_shape = window_starts(VOLUME, roi)
+    slices, starts, grid_shape = window_starts(VOLUME, roi, STRIDE)
     run = make_sliding_window_fn(apply_fn, roi, CHUNK,
                                  conf.output_channels_downstream,
-                                 mode="gaussian", grid_shape=grid_shape)
+                                 mode="gaussian", grid_shape=grid_shape,
+                                 stride=STRIDE)
     vol_np = vol_np[slices[0], slices[1], slices[2]]
     starts, n_valid = pad_starts(starts, CHUNK)
     volume = jax.device_put(jnp.asarray(vol_np))

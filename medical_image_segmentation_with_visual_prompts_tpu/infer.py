@@ -48,7 +48,7 @@ def _predict_device(runner, roi, volume: np.ndarray):
     larger — at the measured ~23 MB/s tunnel of this environment that
     cast alone is most of a second per volume).  Returns the label crop
     as an UNMATERIALIZED device array plus the crop slices."""
-    slices, _, _ = window_starts(volume.shape[:3], roi)
+    slices, _, _ = window_starts(volume.shape[:3], roi, runner.stride)
     cropped = np.ascontiguousarray(volume[slices[0], slices[1], slices[2]])
     probs = runner(cropped)
     dtype = jnp.uint8 if probs.shape[-1] <= 256 else jnp.int16
@@ -70,7 +70,7 @@ def _stitch_labels(runner, roi, volume: np.ndarray) -> np.ndarray:
 
 
 def segment_volume(conf, variables, volume: np.ndarray,
-                   chunk: int = 16) -> np.ndarray:
+                   chunk: int = 16, stride=None) -> np.ndarray:
     """[H, W, D, 1] preprocessed volume -> [H, W, D] int labels."""
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -88,7 +88,7 @@ def segment_volume(conf, variables, volume: np.ndarray,
     dctx = DeviceCtx(conf)
     runner = BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
                                conf.output_channels_downstream,
-                               mesh=dctx.mesh)
+                               mesh=dctx.mesh, stride=stride)
     return _stitch_labels(runner, roi, volume)
 
 
@@ -123,12 +123,15 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
     return pairs
 
 
-def make_runner(conf, variables, chunk: int = 16) -> BucketedInference:
+def make_runner(conf, variables, chunk: int = 16,
+                stride=None) -> BucketedInference:
     """Build the warm serving runner: model, pre-filled position-bias
     cache, and the shape-bucketed sliding-window program cache.
 
     `mesh_data` shards each window chunk across the data mesh (the
     stitched volume stays replicated) — multichip batch serving.
+    ``stride`` (``resolve_stride`` spec) trades window count for border
+    quality — 0.75 runs ~2.5-3x fewer model passes per volume.
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -143,12 +146,12 @@ def make_runner(conf, variables, chunk: int = 16) -> BucketedInference:
     dctx = DeviceCtx(conf)
     return BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
                              conf.output_channels_downstream,
-                             mesh=dctx.mesh)
+                             mesh=dctx.mesh, stride=stride)
 
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
-                  chunk: int = 16, runner: BucketedInference = None
-                  ) -> Tuple[int, int]:
+                  chunk: int = 16, runner: BucketedInference = None,
+                  stride=None) -> Tuple[int, int]:
     """Segment a batch of volumes with pipelined host IO.
 
     Loader and writer run in their own threads with bounded queues, so
@@ -160,7 +163,7 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     """
     roi = tuple(conf.roi_size)
     if runner is None:
-        runner = make_runner(conf, variables, chunk)
+        runner = make_runner(conf, variables, chunk, stride=stride)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
     write_errors: List[Tuple[Path, Exception]] = []
@@ -232,8 +235,8 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
 
 def watch_directory(conf, variables, src: Path, out: Path,
                     chunk: int = 16, interval: float = 5.0,
-                    min_age: float = 1.0, max_polls: int = None
-                    ) -> Tuple[int, int]:
+                    min_age: float = 1.0, max_polls: int = None,
+                    stride=None) -> Tuple[int, int]:
     """Production watch mode: poll ``src`` for new NIfTI volumes and
     segment them as they arrive, keeping the model and the bucketed
     program cache warm across polls.
@@ -246,7 +249,7 @@ def watch_directory(conf, variables, src: Path, out: Path,
     until interrupted.  Returns cumulative ``(n_done, n_failed)``.
     """
     out.mkdir(parents=True, exist_ok=True)
-    runner = make_runner(conf, variables, chunk)
+    runner = make_runner(conf, variables, chunk, stride=stride)
     seen = set()
     n_done = 0
     n_failed = 0
@@ -292,6 +295,11 @@ def main():
     parser.add_argument("--use-encoder-prompting", action="store_true")
     parser.add_argument("--use-decoder-prompting", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
+    parser.add_argument("--stride-factor", type=float, default=0.5,
+                        help="sliding-window stride as a fraction of the "
+                             "roi (0.5 = reference parity; 0.75 runs "
+                             "~2.5-3x fewer windows per volume at a small "
+                             "border-quality cost — see BASELINE.md)")
     parser.add_argument("--watch", action="store_true",
                         help="poll the --input directory and segment new "
                              "volumes as they arrive (model stays warm)")
@@ -323,11 +331,13 @@ def main():
             raise SystemExit("--watch requires a single --input directory")
         watch_directory(conf, variables, Path(args.input[0]),
                         Path(args.output), chunk=args.chunk,
-                        interval=args.watch_interval)
+                        interval=args.watch_interval,
+                        stride=args.stride_factor)
         return
     pairs = resolve_io(args.input, args.output)
     n_done, n_failed = serve_volumes(conf, variables, pairs,
-                                     chunk=args.chunk)
+                                     chunk=args.chunk,
+                                     stride=args.stride_factor)
     if n_failed or not n_done:
         raise SystemExit(1)
 

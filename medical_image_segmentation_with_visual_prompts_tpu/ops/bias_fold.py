@@ -92,6 +92,12 @@ def _plan(window_size: Tuple[int, int, int],
                                        window_size), axis=1)  # [m, 3]
     # Components: per axis, one per distinct kept value.
     axis_vals = [np.unique(coords[:, a]) for a in range(3)]
+    if len(ci) != int(np.prod([len(v) for v in axis_vals])):
+        # The per-component column lookups below require ci to be a full
+        # Cartesian product of its per-axis values (content_indices
+        # always builds one today); degrade to the unfolded path instead
+        # of a trace-time IndexError if that ever changes.
+        return None
     ncc = int(sum(len(v) for v in axis_vals))
     r = ncc
     tok_base = None

@@ -759,7 +759,8 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
                    with_dropout: bool = False,
                    with_shift: bool = False,
                    with_pair: bool = False,
-                   mask_dma: bool = False) -> int:
+                   mask_dma: bool = False,
+                   folded: bool = False) -> int:
     """Estimated peak scoped-VMEM bytes of one fused-block grid step.
 
     Calibrated against measured Mosaic stack OOMs: predicts the
@@ -774,8 +775,18 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
     iterations OOM'd only in the train step, never in the (dropout-
     free) inference bench.
     """
+    if folded:
+        # Bias-fold (ops/bias_fold.py): q/k/v/o_full widen from cw to
+        # the next K-tile multiple, the [H*M, N] bias block disappears,
+        # and the bf16 vq/kext fold tables ride along instead.
+        from .bias_fold import fold_lane_width
+        cwx = fold_lane_width(cw)
+        bias_bytes = (num_heads * m + n) * cwx * 2
+        cw = cwx
+    else:
+        bias_bytes = num_heads * m * n * 4      # bias block
     est = 2 * g * hb * m * n * 4        # fp32 scores + softmax temp
-    est += num_heads * m * n * 4        # bias block
+    est += bias_bytes
     if with_mask:
         # In-kernel label-equality mask: one fp32 [g, m, n] temp
         # (labels themselves are [g, m, 1] + [g, 1, n] — negligible).
@@ -794,8 +805,9 @@ def _vmem_estimate(g: int, hb: int, m: int, n: int, c: int, cw: int,
         est += 3 * g * m * c * 4
     if with_pair:
         # Pair kernel: phase-1 output tile stays alive into phase 2,
-        # plus the second set of double-buffered weight/bias blocks.
-        est += 2 * g * m * c * 4 + 2 * num_heads * m * n * 4
+        # plus the second set of double-buffered weight/bias blocks
+        # (fold-table blocks instead when the bias rides the matmul).
+        est += 2 * g * m * c * 4 + 2 * bias_bytes
     return est
 
 
@@ -804,7 +816,8 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                with_dropout: bool = False,
                with_shift: bool = False,
                with_pair: bool = False,
-               mask_dma: bool = False) -> tuple:
+               mask_dma: bool = False,
+               folded: bool = False) -> tuple:
     """Joint (window group g, head block hb) pick for the fused block.
 
     Prefers the LARGEST g that fits :func:`_vmem_estimate` under the
@@ -827,7 +840,8 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
                 continue
             if _vmem_estimate(g, hb, m, n, c, cw, num_heads, with_mask,
                               with_dropout, with_shift,
-                              with_pair, mask_dma) <= _SCOPED_VMEM_SAFE:
+                              with_pair, mask_dma,
+                              folded) <= _SCOPED_VMEM_SAFE:
                 if forced_hb and num_heads % forced_hb == 0:
                     hb = forced_hb
                 return g, hb
@@ -863,7 +877,8 @@ def _tile_table_enabled() -> bool:
 def _pick_tiling(bp: int, p, num_heads: int, m: int, n: int,
                  with_mask: bool, c: int, fused_kv: bool,
                  with_dropout: bool = False, with_shift: bool = False,
-                 with_pair: bool = False, mask_dma: bool = False):
+                 with_pair: bool = False, mask_dma: bool = False,
+                 folded: bool = False):
     """(g, hb, per-call Mosaic vmem_limit_bytes | None).
 
     Consults the device-tuned :data:`_TILE_TABLE` first (explicit env
@@ -881,7 +896,8 @@ def _pick_tiling(bp: int, p, num_heads: int, m: int, n: int,
                 return g, hb, limit
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, with_mask, c, fused_kv,
                        with_dropout=with_dropout, with_shift=with_shift,
-                       with_pair=with_pair, mask_dma=mask_dma)
+                       with_pair=with_pair, mask_dma=mask_dma,
+                       folded=folded)
     return g, hb, None
 
 
@@ -1120,7 +1136,7 @@ def _forward(x, tokens, params, bias, labels, scale, num_heads, fold_mode,
     g, hb, vmem_limit = _pick_tiling(
         bp, p, num_heads, m, n, labels is not None, c, fused_kv,
         with_dropout=attn_drop > 0.0, with_shift=shift_geom is not None,
-        mask_dma=mask_dma)
+        mask_dma=mask_dma, folded=folded)
     # Fused window shift (``shift_geom = (grid, wc, shift)``): the caller
     # passes UNSHIFTED window-major x; the kernel absorbs the cyclic
     # shift (index_map window permutation + in-VMEM token rolls) when
@@ -1326,7 +1342,7 @@ def _forward_pair(x, tokens0, tokens1, params0, params1, bias0, bias1,
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, labels is not None, c,
                        fused_kv, with_dropout=attn_drop > 0.0,
                        with_shift=shift_geom is not None, with_pair=True,
-                       mask_dma=mask_dma)
+                       mask_dma=mask_dma, folded=folded)
     plan = None
     if shift_geom is not None:
         from .windows import kernel_shift_plan
@@ -1471,10 +1487,23 @@ def _fused_pair_bwd(scale, num_heads, has_tokens, fold_modes, n_fold,
         # rounds its inter-block tile), then chain two single-block
         # kernel backwards: block 2 (masked, fused shift) then block 1.
         params0 = dict(zip(_PARAM_KEYS, ptuple0))
+        # The pair forward folds its bias only when BOTH phases are
+        # fold-applicable (_forward_pair); mirror that joint decision
+        # here so the recompute cannot fold phase 0 alone and diverge
+        # numerically from what the pair kernel actually ran.
+        from .bias_fold import fold_applicable
+        fused_kv = 2 * c <= 128
+        cw = 2 * c if fused_kv else c
+        pair_folded = (
+            fold_applicable(fold_meta, num_heads, m, n_fold, i,
+                            fold_modes[0], cw)
+            and fold_applicable(fold_meta, num_heads, m, n_fold, i,
+                                fold_modes[1], cw))
         x1 = _forward(x, tokens0 if has_tokens else None, params0, bias0,
                       None, scale, num_heads, fold_modes[0], n_fold,
                       None if seeds is None else seeds[:2], attn_drop,
-                      proj_drop, interpret, fold_meta=fold_meta)
+                      proj_drop, interpret,
+                      fold_meta=fold_meta if pair_folded else None)
         dx1, dtok1, dpt1, dbias1, dlab, _ = block_backward(
             x1, g, tokens1, ptuple1, bias1, labels,
             None if seeds is None else seeds[2:], scale, num_heads,

@@ -6,7 +6,8 @@ host→device copy per chunk (segmentation.py:229-266; SURVEY.md §3.4 ★).
 Here the entire pipeline is ONE jitted XLA program per volume shape:
 
 * window extraction by ``dynamic_slice`` under ``lax.scan`` (overlapping
-  windows, stride = roi/2) straight from the device-resident volume;
+  windows, stride = roi/2 by default — any stride ≤ roi is supported,
+  see ``resolve_stride``) straight from the device-resident volume;
 * chunked model forwards inside the same program (scan over chunks);
 * two output modes:
   - ``per_window`` — per-window metric statistics, exactly the
@@ -30,10 +31,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def window_starts(image_size: Sequence[int], window: Sequence[int]
+def resolve_stride(window: Sequence[int], stride=None) -> Tuple[int, ...]:
+    """Normalize a stride spec to a per-axis int tuple.
+
+    ``None`` → the reference's roi/2 (segmentation.py:243-252, the
+    parity default); a float ``f`` → ``max(1, int(w * f))`` per axis
+    (``0.75`` ≈ 2-3× fewer windows on the canonical volume); a sequence
+    → per-axis strides.  Strides larger than the window would leave
+    uncovered gaps and are rejected.
+    """
+    if stride is None:
+        s = tuple(w // 2 for w in window)
+    elif isinstance(stride, (int, float)):
+        if stride <= 0:
+            raise ValueError(f"stride factor must be positive, got {stride}")
+        s = tuple(max(1, int(round(w * float(stride)))) for w in window)
+    else:
+        s = tuple(int(v) for v in stride)
+    if len(s) != len(tuple(window)):
+        raise ValueError(f"stride {s} rank != window {tuple(window)}")
+    if any(si > wi or si < 1 for si, wi in zip(s, window)):
+        raise ValueError(f"stride {s} must be in [1, window] {tuple(window)}")
+    return s
+
+
+def window_starts(image_size: Sequence[int], window: Sequence[int],
+                  stride=None
                   ) -> Tuple[Tuple[slice, ...], np.ndarray, Tuple[int, ...]]:
     """Center-crop slices, [N, 3] window starts, grid shape (ref :229-252)."""
-    stride = [w // 2 for w in window]
+    stride = resolve_stride(window, stride)
     slices, axes = [], []
     for i in range(3):
         adj = (image_size[i] - window[i]) // stride[i] * stride[i] + window[i]
@@ -52,7 +78,8 @@ def bucket_shape(cropped: Sequence[int], window: Sequence[int]
     return tuple(int(-(-c // w) * w) for c, w in zip(cropped, window))
 
 
-def bucketed_starts(cropped: Sequence[int], window: Sequence[int]
+def bucketed_starts(cropped: Sequence[int], window: Sequence[int],
+                    stride=None
                     ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
     """Window grid over the BUCKET shape plus a validity mask selecting
     exactly the real (cropped-shape) grid.
@@ -62,7 +89,7 @@ def bucketed_starts(cropped: Sequence[int], window: Sequence[int]
     (same window set, same weights).
     """
     bucket = bucket_shape(cropped, window)
-    _, starts, grid_shape = window_starts(bucket, window)
+    _, starts, grid_shape = window_starts(bucket, window, stride)
     valid = np.all(starts + np.asarray(window, np.int32)
                    <= np.asarray(cropped, np.int32), axis=1)
     return starts, valid, grid_shape
@@ -111,31 +138,45 @@ def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
                   out_spatial) -> jnp.ndarray:
     """Sum overlapping windows into a volume without sequential scatter.
 
-    Windows at stride = window/2 overlap 2x per axis, so windows with the
-    same start-index parity are disjoint and tile a contiguous slab: the
-    accumulation decomposes into 8 parity cosets, each a pure
-    reshape/transpose + pad + add — fully parallel on device, unlike a
-    scatter loop.
+    Generalized coset decomposition: along axis i, windows whose grid
+    index is congruent mod ``k_i = ceil(w_i / s_i)`` start ``k_i * s_i ≥
+    w_i`` apart, so they are disjoint.  Zero-padding each window from
+    ``w_i`` to the coset pitch ``k_i * s_i`` makes every coset tile a
+    contiguous slab — a pure reshape/transpose + pad + add, fully
+    parallel on device, unlike a scatter loop.  At the parity default
+    ``s = w/2`` this reduces to the 8-parity-coset scheme (pitch == w,
+    the pad is a no-op); at ``s = w`` it is a single reshape.
 
     values: ``[N, wh, ww, wd, C]`` in meshgrid (i-major) window order.
     """
     n0, n1, n2 = grid_shape
-    wh, ww, wd = window
-    s0, s1, s2 = stride
     c = values.shape[-1]
-    grids = values.reshape(n0, n1, n2, wh, ww, wd, c)
+    ks = tuple(-(-w // s) for w, s in zip(window, stride))
+    pitch = tuple(k * s for k, s in zip(ks, stride))
+    if pitch != tuple(window):
+        # Pad windows to the coset pitch; padded voxels carry zero
+        # probability/weight so the stitched sum is unchanged.
+        values = jnp.pad(values, [(0, 0)] + [
+            (0, p - w) for p, w in zip(pitch, window)] + [(0, 0)])
+    p0, p1, p2 = pitch
+    s0, s1, s2 = stride
+    grids = values.reshape(n0, n1, n2, p0, p1, p2, c)
     out = jnp.zeros((*out_spatial, c), values.dtype)
-    for a in range(min(2, n0)):
-        for b in range(min(2, n1)):
-            for d in range(min(2, n2)):
-                sub = grids[a::2, b::2, d::2]
+    for a in range(min(ks[0], n0)):
+        for b in range(min(ks[1], n1)):
+            for d in range(min(ks[2], n2)):
+                sub = grids[a::ks[0], b::ks[1], d::ks[2]]
                 na, nb, nd = sub.shape[:3]
                 slab = sub.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-                    na * wh, nb * ww, nd * wd, c)
-                pads = [(a * s0, out_spatial[0] - a * s0 - na * wh),
-                        (b * s1, out_spatial[1] - b * s1 - nb * ww),
-                        (d * s2, out_spatial[2] - d * s2 - nd * wd),
-                        (0, 0)]
+                    na * p0, nb * p1, nd * p2, c)
+                # The last window's pitch padding may overrun the volume
+                # (it holds only zeros there) — crop before placing.
+                off = (a * s0, b * s1, d * s2)
+                ext = [min(e, o - f) for e, o, f in
+                       zip((na * p0, nb * p1, nd * p2), out_spatial, off)]
+                slab = slab[:ext[0], :ext[1], :ext[2]]
+                pads = [(f, o - f - e) for f, o, e in
+                        zip(off, out_spatial, ext)] + [(0, 0)]
                 out = out + jnp.pad(slab, pads)
     return out
 
@@ -143,7 +184,7 @@ def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
 def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                            num_classes: int, mode: str = "gaussian",
                            grid_shape: Sequence[int] = None,
-                           mesh=None):
+                           mesh=None, stride=None):
     """Build a jitted volume → prediction/stats function.
 
     Args:
@@ -157,6 +198,10 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
       grid_shape: (n0, n1, n2) window-grid counts (required for
         ``gaussian``; the second output of :func:`window_starts` is this
         grid flattened i-major).
+      stride: window stride spec (``resolve_stride``) — must match the
+        grid the ``starts`` were computed with.  Default roi/2 (parity
+        with the reference protocol); larger strides cut the number of
+        model forwards per volume (the dominant serving cost).
 
     The returned fn takes (volume [H', W', D', C_in] already center-
     cropped, starts [N, 3] int32) with N padded to a multiple of
@@ -168,6 +213,7 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
     a multiple of the mesh size); the stitched volume stays replicated.
     """
     wh, ww, wd = window
+    stride = resolve_stride(window, stride)
     gauss = jnp.asarray(_gaussian_importance(window))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -210,7 +256,6 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                 return None, (probs * w, w)
 
             nw = int(np.prod(grid_shape))
-            stride = tuple(wi // 2 for wi in window)
             if weight_acc is not None:
                 # Blend-weight volume precomputed on the host
                 # (gaussian_weight_acc): the device stitches
@@ -271,12 +316,15 @@ class BucketedInference:
     """
 
     def __init__(self, apply_fn, window: Sequence[int], chunk: int,
-                 num_classes: int, mesh=None):
+                 num_classes: int, mesh=None, stride=None):
         self.apply_fn = apply_fn
         self.window = tuple(window)
         self.chunk = chunk
         self.num_classes = num_classes
         self.mesh = mesh
+        # Callers that center-crop the volume themselves must crop with
+        # this same stride (window_starts(..., stride=runner.stride)).
+        self.stride = resolve_stride(window, stride)
         self._runs = {}
         # Blend-weight volumes are keyed per distinct (bucket, dims) —
         # unlike the O(#buckets) program cache this can grow with every
@@ -296,12 +344,14 @@ class BucketedInference:
         [H', W', D', num_classes]."""
         dims = cropped.shape[:3]
         bucket = bucket_shape(dims, self.window)
-        starts, valid, grid_shape = bucketed_starts(dims, self.window)
+        starts, valid, grid_shape = bucketed_starts(dims, self.window,
+                                                    self.stride)
         key = (bucket, grid_shape)
         if key not in self._runs:
             self._runs[key] = make_sliding_window_fn(
                 self.apply_fn, self.window, self.chunk, self.num_classes,
-                mode="gaussian", grid_shape=grid_shape, mesh=self.mesh)
+                mode="gaussian", grid_shape=grid_shape, mesh=self.mesh,
+                stride=self.stride)
         pads = [(0, b - d) for b, d in zip(bucket, dims)] + [(0, 0)]
         vol = np.pad(np.asarray(cropped), pads)
         starts_p, vvec = pad_starts(starts, self.chunk, valid)

@@ -413,13 +413,17 @@ class SegmentationTrainer:
             return model.apply(variables, batch,
                                deterministic=True)["downstream"]
 
+        # ``test_stride_factor`` (default 0.5 = reference-parity grid)
+        # trades window count for border quality; see BASELINE.md
+        # "Stitched-mode quality" for measured Dice deltas per stride.
+        stride = getattr(conf, "test_stride_factor", None)
         runner = BucketedInference(apply_fn, roi, chunk, num_classes,
-                                   mesh=self.dctx.mesh)
+                                   mesh=self.dctx.mesh, stride=stride)
         self._bucketed_runner = runner  # exposed for tests/diagnostics
         for step, batch in enumerate(self.train_loader):
             x = np.asarray(batch["image"])[0]
             m = np.asarray(batch["mask"])[0]
-            slices, _, _ = window_starts(x.shape[:3], roi)
+            slices, _, _ = window_starts(x.shape[:3], roi, runner.stride)
             x = np.ascontiguousarray(x[slices[0], slices[1], slices[2]])
             m = np.ascontiguousarray(m[slices[0], slices[1], slices[2]])
             probs = runner(x)
