@@ -72,12 +72,23 @@ def orient_ras(data: np.ndarray, affine: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
-def load_image(path, ensure_channel: bool = True) -> np.ndarray:
+def load_image_raw(path, ensure_channel: bool = True) -> np.ndarray:
+    """RAS-oriented volume in its NATIVE dtype (int16 for typical CT —
+    load_nifti only promotes to float32 when the header carries a
+    nontrivial scl_slope/inter).  Serving ships this narrow payload to
+    the device and runs the intensity windowing there
+    (infer.device_scale_intensity): a lossless 2x H2D cut on the
+    measured link-bound from-disk path."""
     data, affine = load_nifti(path)
     data = orient_ras(data, affine)
     if ensure_channel and data.ndim == 3:
         data = data[..., None]
-    return np.ascontiguousarray(data.astype(np.float32))
+    return np.ascontiguousarray(data)
+
+
+def load_image(path, ensure_channel: bool = True) -> np.ndarray:
+    return np.ascontiguousarray(
+        load_image_raw(path, ensure_channel).astype(np.float32))
 
 
 def resize(x: np.ndarray, out_size: Sequence[int],

@@ -35,10 +35,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import save_nifti
-from .data.transforms import load_image, scale_intensity_range
+from .data.transforms import (load_image, load_image_raw,
+                              scale_intensity_range)
 from .models import ModelConfig, SwinUnetR, prefill_bias_cache
 from .parallel import BucketedInference, window_starts
 from .utils import get_full_configs, load_checkpoint, restore_like
+
+
+def device_scale_intensity(a_min: float = -1000.0, a_max: float = 1000.0,
+                           b_min: float = 0.0, b_max: float = 1.0,
+                           clip: bool = True):
+    """On-device CT intensity windowing (``ScaleIntensityRanged``
+    equivalent — reference transforms.py:15-18) for raw H2D payloads.
+
+    From-disk serving ships the volume in its NATIVE NIfTI dtype (int16
+    HU for typical CT — a lossless 2x cut of the measured link-bound
+    upload, docs/PERF.md round 4) and windows it on device.  The fused
+    multiply-add mirrors the native host path
+    (native/miseg_native.cpp::miseg_scale_intensity) so host- and
+    device-windowed pipelines agree in fp32 (tests/test_infer.py).
+    """
+    scale = np.float32((b_max - b_min) / (a_max - a_min))
+
+    def fn(x):
+        v = (x.astype(jnp.float32) - np.float32(a_min)) * scale \
+            + np.float32(b_min)
+        if clip:
+            v = jnp.clip(v, np.float32(b_min), np.float32(b_max))
+        return v
+
+    return fn
 
 
 def _predict_device(runner, roi, volume: np.ndarray):
@@ -124,7 +150,8 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
 
 
 def make_runner(conf, variables, chunk: int = 16,
-                stride=None) -> BucketedInference:
+                stride=None,
+                device_windowing: bool = True) -> BucketedInference:
     """Build the warm serving runner: model, pre-filled position-bias
     cache, and the shape-bucketed sliding-window program cache.
 
@@ -132,6 +159,10 @@ def make_runner(conf, variables, chunk: int = 16,
     stitched volume stays replicated) — multichip batch serving.
     ``stride`` (``resolve_stride`` spec) trades window count for border
     quality — 0.75 runs ~2.5-3x fewer model passes per volume.
+    ``device_windowing`` (default): volumes are fed RAW (native NIfTI
+    dtype, typically int16 HU) and intensity-windowed on device —
+    halving the H2D payload on the link-bound from-disk path; pass
+    False to feed host-preprocessed float volumes.
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -146,12 +177,15 @@ def make_runner(conf, variables, chunk: int = 16,
     dctx = DeviceCtx(conf)
     return BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
                              conf.output_channels_downstream,
-                             mesh=dctx.mesh, stride=stride)
+                             mesh=dctx.mesh, stride=stride,
+                             preprocess=(device_scale_intensity()
+                                         if device_windowing else None))
 
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
                   chunk: int = 16, runner: BucketedInference = None,
-                  stride=None) -> Tuple[int, int]:
+                  stride=None,
+                  device_windowing: bool = True) -> Tuple[int, int]:
     """Segment a batch of volumes with pipelined host IO.
 
     Loader and writer run in their own threads with bounded queues, so
@@ -163,15 +197,21 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     """
     roi = tuple(conf.roi_size)
     if runner is None:
-        runner = make_runner(conf, variables, chunk, stride=stride)
+        runner = make_runner(conf, variables, chunk, stride=stride,
+                             device_windowing=device_windowing)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
     write_errors: List[Tuple[Path, Exception]] = []
+    # Device-windowing runners take the RAW narrow payload (typically
+    # int16 HU — half the H2D bytes); host-windowing runners take the
+    # float volume preprocessed here in the loader thread.
+    raw_feed = runner.preprocess is not None
 
     def loader():
         for src, dst in pairs:
             try:
-                vol = scale_intensity_range(load_image(str(src)))
+                vol = load_image_raw(str(src)) if raw_feed else \
+                    scale_intensity_range(load_image(str(src)))
                 loaded.put((src, dst, vol, None))
             except Exception as e:          # surface per-volume failures
                 loaded.put((src, dst, None, e))
@@ -236,7 +276,8 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
 def watch_directory(conf, variables, src: Path, out: Path,
                     chunk: int = 16, interval: float = 5.0,
                     min_age: float = 1.0, max_polls: int = None,
-                    stride=None) -> Tuple[int, int]:
+                    stride=None,
+                    device_windowing: bool = True) -> Tuple[int, int]:
     """Production watch mode: poll ``src`` for new NIfTI volumes and
     segment them as they arrive, keeping the model and the bucketed
     program cache warm across polls.
@@ -249,7 +290,8 @@ def watch_directory(conf, variables, src: Path, out: Path,
     until interrupted.  Returns cumulative ``(n_done, n_failed)``.
     """
     out.mkdir(parents=True, exist_ok=True)
-    runner = make_runner(conf, variables, chunk, stride=stride)
+    runner = make_runner(conf, variables, chunk, stride=stride,
+                         device_windowing=device_windowing)
     seen = set()
     n_done = 0
     n_failed = 0
@@ -300,6 +342,11 @@ def main():
                              "roi (0.5 = reference parity; 0.75 runs "
                              "~2.5-3x fewer windows per volume at a small "
                              "border-quality cost — see BASELINE.md)")
+    parser.add_argument("--host-windowing", action="store_true",
+                        help="preprocess (intensity-window) volumes on the "
+                             "host and upload float32, instead of the "
+                             "default raw int16 upload + on-device "
+                             "windowing")
     parser.add_argument("--watch", action="store_true",
                         help="poll the --input directory and segment new "
                              "volumes as they arrive (model stays warm)")
@@ -332,12 +379,14 @@ def main():
         watch_directory(conf, variables, Path(args.input[0]),
                         Path(args.output), chunk=args.chunk,
                         interval=args.watch_interval,
-                        stride=args.stride_factor)
+                        stride=args.stride_factor,
+                        device_windowing=not args.host_windowing)
         return
     pairs = resolve_io(args.input, args.output)
     n_done, n_failed = serve_volumes(conf, variables, pairs,
                                      chunk=args.chunk,
-                                     stride=args.stride_factor)
+                                     stride=args.stride_factor,
+                                     device_windowing=not args.host_windowing)
     if n_failed or not n_done:
         raise SystemExit(1)
 

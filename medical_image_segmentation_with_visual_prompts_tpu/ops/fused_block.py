@@ -850,30 +850,6 @@ def _pick_g_hb(bp: int, p, num_heads: int, m: int, n: int,
         forced_hb and num_heads % forced_hb == 0) else 1
 
 
-# Device-tuned tiling table (tools/sweep_ghb.py at the REAL stage-0
-# window, docs/PERF.md round 4): geometries with a measured-better
-# tiling that needs more scoped VMEM than the compiler default.  The
-# extra budget is granted PER CALL via Mosaic's vmem_limit_bytes —
-# raising the global env knob instead re-tiles every other kernel too
-# and measurably loses at model level.  Keyed (c, m); value
-# (g, hb, vmem_limit_bytes).
-_TILE_TABLE = {
-    (48, 256): (8, 2, 44 * 1024 * 1024),   # plain -2.3%, shift -5.3%
-}
-
-
-def _tile_table_enabled() -> bool:
-    """``MIVP_TILE_TABLE=1`` opts in.
-
-    Default OFF: the table's hb=2@44M entry wins 2-5% at kernel level
-    but LOSES ~6.5% at model level (12.93 vs 13.83 vol/s, same-session
-    A/B) — granting the hot kernels a bigger Mosaic VMEM budget starves
-    the scheduler's cross-op DMA overlap even when no other kernel's
-    tiling changes.  Isolated-kernel sweeps cannot see this; only full-
-    bench A/Bs decide VMEM-raising configs (docs/PERF.md round 4)."""
-    return os.environ.get("MIVP_TILE_TABLE", "0") not in ("0", "")
-
-
 def _pick_tiling(bp: int, p, num_heads: int, m: int, n: int,
                  with_mask: bool, c: int, fused_kv: bool,
                  with_dropout: bool = False, with_shift: bool = False,
@@ -881,19 +857,13 @@ def _pick_tiling(bp: int, p, num_heads: int, m: int, n: int,
                  folded: bool = False):
     """(g, hb, per-call Mosaic vmem_limit_bytes | None).
 
-    Consults the device-tuned :data:`_TILE_TABLE` first (explicit env
-    forces and dropout-carrying training calls keep the generic
-    picker — the table entries are measured on the dropout-free
-    serving geometry)."""
-    if (_tile_table_enabled() and not with_pair and not with_dropout
-            and not int(os.environ.get("MIVP_FORCE_G", "0"))
-            and not int(os.environ.get("MIVP_FORCE_HB", "0"))):
-        ent = _TILE_TABLE.get((c, m))
-        if ent is not None:
-            g, hb, limit = ent
-            if bp % g == 0 and (p is None or p % g == 0) \
-                    and num_heads % hb == 0:
-                return g, hb, limit
+    A round-4 device-tuned tiling table lived here (hb=2 at a 44M
+    per-call Mosaic budget, 2-5% faster in isolation) and was REMOVED
+    after the same-session full-bench A/B showed a ~6.5% model-level
+    loss: scoped-VMEM reservation starves cross-op DMA overlap, a cost
+    isolated-kernel sweeps cannot see (docs/PERF.md round 4; the
+    ARCHITECTURE opt-in audit records the removal).  Sweeps force
+    tilings via MIVP_FORCE_G / MIVP_FORCE_HB instead."""
     g, hb = _pick_g_hb(bp, p, num_heads, m, n, with_mask, c, fused_kv,
                        with_dropout=with_dropout, with_shift=with_shift,
                        with_pair=with_pair, mask_dma=mask_dma,

@@ -29,128 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pallas_partition_enabled() -> bool:
-    """One-pass Pallas relayout for the partition/reverse when p3 == 1.
-
-    The XLA transpose emitter runs these copies at ~77 GB/s standalone
-    (device probe, docs/PERF.md round 4); the Pallas pass reads each
-    (b, p1) slab once and permutes in VMEM.  ``MIVP_PALLAS_PART=1``
-    opts in (device A/B pending — a Mosaic failure here would reach
-    even the XLA bench tier, so the default stays conservative)."""
-    import os
-    return os.environ.get("MIVP_PALLAS_PART", "0") not in ("0", "")
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu" or \
-            jax.default_backend() == "axon"
-    except Exception:  # backend not initialized yet
-        return False
-
-
-def _partition_pallas(x: jnp.ndarray, window_size) -> jnp.ndarray:
-    # Rank-7 formulation: the lane dim stays C end to end (a wd*c -> c
-    # lane split is an unsupported Mosaic shape cast, device-probed);
-    # the kernel body is ONE leading-dim transpose, and the m-merge is
-    # a free trace-level reshape on the dense output.
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    b, h, w, d, c = x.shape
-    wh, ww, wd = window_size
-    p1, p2 = h // wh, w // ww
-    x7 = x.reshape(b, wh, p1, ww, p2, wd, c)
-
-    def kern(x_ref, o_ref):
-        t = x_ref[0, :, 0]                       # [wh, ww, p2, wd, c]
-        o_ref[0] = t.transpose(2, 0, 1, 3, 4)    # [p2, wh, ww, wd, c]
-
-    out = pl.pallas_call(
-        kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, wh, 1, ww, p2, wd, c),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, p2, wh, ww, wd, c),
-                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p1 * p2, wh, ww, wd, c),
-                                       x.dtype),
-    )(x7)
-    return out.reshape(b, p1 * p2, wh * ww * wd, c)
-
-
-def _reverse_pallas(xw: jnp.ndarray, window_size, shape_x) -> jnp.ndarray:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    b, _, m, c = xw.shape
-    wh, ww, wd = window_size
-    hp, wp, dp = shape_x
-    p1, p2 = hp // wh, wp // ww
-    x7 = xw.reshape(b, p1 * p2, wh, ww, wd, c)
-
-    def kern(x_ref, o_ref):
-        t = x_ref[0]                             # [p2, wh, ww, wd, c]
-        o_ref[0, :, 0] = t.transpose(1, 2, 0, 3, 4)
-
-    out = pl.pallas_call(
-        kern, grid=(b, p1),
-        in_specs=[pl.BlockSpec((1, p2, wh, ww, wd, c),
-                               lambda ib, ip: (ib, ip, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, wh, 1, ww, p2, wd, c),
-                               lambda ib, ip: (ib, 0, ip, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, wh, p1, ww, p2, wd, c),
-                                       xw.dtype),
-    )(x7)
-    return out.reshape(b, hp, wp, dp, c)
-
-
-def _pallas_part_ok(p1: int, p2: int, wh: int, ww: int, wd: int,
-                    c: int, itemsize: int) -> bool:
-    """Geometry gate: VMEM block ≤ 2M per buffer, non-degenerate grid."""
-    blk = wh * ww * p2 * wd * c * itemsize
-    return p1 >= 1 and p2 >= 1 and blk <= 2 * 1024 * 1024
-
-
-# The Pallas relayouts are permutations: each one's vjp is the other
-# (pallas_call has no autodiff rule, and the partition/reverse sit in
-# the differentiated trace OUTSIDE the fused block's custom_vjp).
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _partition_pallas_vjp(x, window_size):
-    return _partition_pallas(x, window_size)
-
-
-def _partition_pallas_fwd(x, window_size):
-    return _partition_pallas(x, window_size), x.shape[1:4]
-
-
-def _partition_pallas_bwd(window_size, shape_x, g):
-    return (_reverse_pallas(g, window_size, shape_x),)
-
-
-_partition_pallas_vjp.defvjp(_partition_pallas_fwd, _partition_pallas_bwd)
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _reverse_pallas_vjp(xw, window_size, shape_x):
-    return _reverse_pallas(xw, window_size, shape_x)
-
-
-def _reverse_pallas_fwd(xw, window_size, shape_x):
-    return _reverse_pallas(xw, window_size, shape_x), None
-
-
-def _reverse_pallas_bwd(window_size, shape_x, _, g):
-    return (_partition_pallas(g, window_size),)
-
-
-_reverse_pallas_vjp.defvjp(_reverse_pallas_fwd, _reverse_pallas_bwd)
-
-
 def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
     """[B, H, W, D, C] -> [B, P, N, C] with dilated windows.
 
@@ -161,9 +39,6 @@ def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
     b, h, w, d, c = x.shape
     wh, ww, wd = window_size
     p1, p2, p3 = h // wh, w // ww, d // wd
-    if p3 == 1 and _pallas_partition_enabled() and _on_tpu() \
-            and _pallas_part_ok(p1, p2, wh, ww, wd, c, x.dtype.itemsize):
-        return _partition_pallas_vjp(x, (wh, ww, wd))
     if p3 == 1:
         # Fully-windowed depth (every hot stage): (wd, p3=1, c) is one
         # contiguous unit, so the relayout collapses to a 6-D transpose
@@ -187,9 +62,6 @@ def window_reverse(x: jnp.ndarray, window_size: Sequence[int],
     wh, ww, wd = window_size
     hp, wp, dp = shape_x
     p1, p2, p3 = hp // wh, wp // ww, dp // wd
-    if p3 == 1 and _pallas_partition_enabled() and _on_tpu() \
-            and _pallas_part_ok(p1, p2, wh, ww, wd, c, x.dtype.itemsize):
-        return _reverse_pallas_vjp(x, (wh, ww, wd), tuple(shape_x))
     if p3 == 1:
         # Depth-merged 6-D inverse (see window_partition).
         x = x.reshape(b, p1, p2, wh, ww, wd * c)

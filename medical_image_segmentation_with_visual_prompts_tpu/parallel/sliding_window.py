@@ -184,7 +184,7 @@ def _coset_stitch(values: jnp.ndarray, grid_shape, window, stride,
 def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
                            num_classes: int, mode: str = "gaussian",
                            grid_shape: Sequence[int] = None,
-                           mesh=None, stride=None):
+                           mesh=None, stride=None, preprocess=None):
     """Build a jitted volume → prediction/stats function.
 
     Args:
@@ -202,6 +202,11 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
         grid the ``starts`` were computed with.  Default roi/2 (parity
         with the reference protocol); larger strides cut the number of
         model forwards per volume (the dominant serving cost).
+      preprocess: optional jit-traceable volume transform applied ON
+        DEVICE before window extraction (e.g. intensity windowing of a
+        narrow int16 H2D payload).  Padded voxels pass through it but
+        only ever reach zero-weight windows or the cropped-away bucket
+        margin, so the stitched output is unaffected by their value.
 
     The returned fn takes (volume [H', W', D', C_in] already center-
     cropped, starts [N, 3] int32) with N padded to a multiple of
@@ -228,6 +233,8 @@ def make_sliding_window_fn(apply_fn, window: Sequence[int], chunk: int,
 
     @jax.jit
     def run(volume, starts, n_valid, weight_acc=None):
+        if preprocess is not None:
+            volume = preprocess(volume)
         n = starts.shape[0]
         n_chunks = n // chunk
 
@@ -316,12 +323,14 @@ class BucketedInference:
     """
 
     def __init__(self, apply_fn, window: Sequence[int], chunk: int,
-                 num_classes: int, mesh=None, stride=None):
+                 num_classes: int, mesh=None, stride=None,
+                 preprocess=None):
         self.apply_fn = apply_fn
         self.window = tuple(window)
         self.chunk = chunk
         self.num_classes = num_classes
         self.mesh = mesh
+        self.preprocess = preprocess
         # Callers that center-crop the volume themselves must crop with
         # this same stride (window_starts(..., stride=runner.stride)).
         self.stride = resolve_stride(window, stride)
@@ -351,7 +360,7 @@ class BucketedInference:
             self._runs[key] = make_sliding_window_fn(
                 self.apply_fn, self.window, self.chunk, self.num_classes,
                 mode="gaussian", grid_shape=grid_shape, mesh=self.mesh,
-                stride=self.stride)
+                stride=self.stride, preprocess=self.preprocess)
         pads = [(0, b - d) for b, d in zip(bucket, dims)] + [(0, 0)]
         vol = np.pad(np.asarray(cropped), pads)
         starts_p, vvec = pad_starts(starts, self.chunk, valid)

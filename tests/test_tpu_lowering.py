@@ -200,20 +200,7 @@ def test_bias_fold_flagship_lowers_for_tpu(monkeypatch):
     _export_tpu(fwd, x)
 
 
-def test_pallas_partition_lowers_for_tpu(monkeypatch):
-    """The opt-in rank-7 Pallas window relayout (MIVP_PALLAS_PART) and
-    its permutation custom_vjp lower for TPU."""
-    from medical_image_segmentation_with_visual_prompts_tpu.ops import (
-        windows)
-
-    monkeypatch.setenv("MIVP_PALLAS_PART", "1")
-    monkeypatch.setattr(windows, "_on_tpu", lambda: True)
-    x = jnp.zeros((2, 64, 64, 4, 48), jnp.bfloat16)
-
-    def roundtrip(xx):
-        xw = windows.window_partition(xx, (8, 8, 4))
-        return windows.window_reverse(xw, (8, 8, 4), (64, 64, 4))
-
-    _export_tpu(roundtrip, x)
-    _export_tpu(jax.grad(lambda xx: roundtrip(xx).astype(
-        jnp.float32).sum()), x)
+# (The rank-7 Pallas window-relayout opt-in and its lowering guard were
+# removed in round 5: device-measured to land on XLA's same ~77 GB/s
+# access-pattern bound with no geometry where it can win — see the
+# ARCHITECTURE opt-in audit and docs/PERF.md round 4.)

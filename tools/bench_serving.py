@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny CPU-runnable geometry for smoke tests")
+    ap.add_argument("--host-windowing", action="store_true",
+                    help="A/B arm: host fp32 preprocessing + fp32 H2D "
+                         "instead of raw int16 H2D + device windowing")
+    ap.add_argument("--stride", type=float, default=0.5,
+                    help="sliding-window stride factor")
     args = ap.parse_args()
 
     from medical_image_segmentation_with_visual_prompts_tpu.data.nifti \
@@ -85,7 +90,11 @@ def main():
     pairs = []
     for k in range(args.n):
         shp = shapes[k % len(shapes)]
-        vol = rng.normal(0.3, 0.2, size=shp).astype(np.float32)
+        # int16 HU payloads, the native CT encoding: the default serving
+        # path ships these RAW to the device (half the fp32 bytes) and
+        # windows there; --host-windowing is the fp32-upload A/B arm.
+        vol = np.clip(rng.normal(0.0, 400.0, size=shp), -1000,
+                      1000).astype(np.int16)
         src = tmp / f"case{k}.nii.gz"
         save_nifti(str(src), vol)
         pairs.append((src, tmp / f"seg{k}.nii.gz"))
@@ -109,7 +118,11 @@ def main():
 
     # Warmup: one volume per distinct bucket (compiles / loads the
     # program cache), then the timed warm batch on a shared runner.
-    runner = make_runner(ns, variables, chunk=args.chunk)
+    runner = make_runner(ns, variables, chunk=args.chunk,
+                         stride=args.stride,
+                         device_windowing=not args.host_windowing)
+    print(f"ARM: {'host fp32' if args.host_windowing else 'device int16'} "
+          f"windowing, stride {args.stride}")
     n_shapes = len(set(shapes[: args.n]))
     t0 = time.perf_counter()
     serve_volumes(ns, variables, pairs[:n_shapes], chunk=args.chunk,

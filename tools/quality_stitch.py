@@ -117,7 +117,7 @@ def run(epochs: int = 8, seed: int = 7):
                           save_ckpt_prompt_tokens=True)
         conf.save_ckpt_prompt_tokens_path = tmp / "ckpts" / "pt"
         conf.max_epochs_downstream = epochs
-        conf.num_samples_downstream = 4
+        conf.num_samples_downstream = 8
         cli.setup_fitting(conf).train()
         ckpt = sorted(Path(conf.save_ckpt_prompt_tokens_path)
                       .glob("*.ckpt"))[-1]
