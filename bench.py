@@ -49,9 +49,13 @@ COMPUTE_DTYPE = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 # imported reference checkpoints — pad-ALL-axes quirk, slower).
 PAD_MODE = os.environ.get("BENCH_PAD_MODE", "aligned")
 # Sliding-window stride factor: windows per volume scale ~1/f^3 (80 at
-# the 0.5 parity default, 27 at 0.75 — quality deltas recorded in
-# BASELINE.md "Stitched-mode quality").
-STRIDE = float(os.environ.get("BENCH_STRIDE", "0.5"))
+# 0.5 = the reference-parity grid, 27 at 0.75).  Default 0.75 — the
+# production serving configuration (2.27x same-session A/B, quality
+# delta -0.003 Dice vs the stride-0.5 stitch and +0.039 vs the
+# reference's own per-window protocol; PERF.md round 5, BASELINE.md
+# "Stitched-mode quality").  BENCH_STRIDE=0.5 reproduces the round-4
+# pass structure.
+STRIDE = float(os.environ.get("BENCH_STRIDE", "0.75"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "10"))
 
 
@@ -99,7 +103,7 @@ def _build_run(attn_impl, fold_head_hw):
     # Warmup (compile) — part of the attempt so failures trigger fallback.
     out = run(volume, starts_d, n_valid, wacc)
     out.block_until_ready()
-    return conf, roi, x0, variables, starts, \
+    return conf, roi, x0, variables, starts, int(n_valid), \
         (lambda: run(volume, starts_d, n_valid, wacc))
 
 
@@ -272,7 +276,7 @@ def main():
             "metric": "sliding_window_volumes_per_sec_per_chip",
             "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0}))
         return
-    conf, roi, x0, variables, starts, run_once = built
+    conf, roi, x0, variables, starts, n_real, run_once = built
     if tier_name != "full":
         print(f"bench ran at FALLBACK tier '{tier_name}'", file=sys.stderr)
 
@@ -316,8 +320,10 @@ def main():
                     f"MFU FLOP constant is stale for config {_sig}; "
                     "regenerate with tools/baseline_model.py")
             flops_chunk = 24.43e9 * CHUNK
-        n_chunks = starts.shape[0] // CHUNK
-        flops_volume = flops_chunk * n_chunks
+        # MODEL flops count only the REAL windows: chunk-padding slots
+        # (5 of 32 at stride 0.75 / chunk 16) are pipeline overhead,
+        # not useful work, and must not inflate MFU.
+        flops_volume = flops_chunk / CHUNK * n_real
         peak = chip_peak_tflops()
         tflops = flops_volume * vps / 1e12
         print(json.dumps({

@@ -60,6 +60,21 @@ def kernel_bwd_enabled() -> bool:
     return os.environ.get("MIVP_KERNEL_BWD", "1") not in ("0", "")
 
 
+def _bwd_ablate() -> str:
+    """MEASUREMENT-ONLY ablation arms for tools/bench_bwd_ablate.py
+    (the backward twin of the round-3 forward fast-softmax study).
+
+    ``MIVP_BWD_ABLATE`` is a comma list of: ``nosoftmax`` (scores pass
+    skips the softmax recompute), ``nobias`` (skip the bias add),
+    ``nomask`` (skip the label-mask multiply), ``nofwd`` (skip the
+    forward attention-output recompute — the first of the two
+    per-head-block passes).  Every arm computes WRONG gradients by
+    construction; the default "" is the production kernel, untouched.
+    """
+    import os
+    return os.environ.get("MIVP_BWD_ABLATE", "")
+
+
 def _vmem_estimate_bwd(g, hb, m, n, c, cw, num_heads, with_mask,
                        with_dropout, mask_dma):
     """Peak scoped-VMEM estimate of one backward grid step (bytes).
@@ -139,6 +154,7 @@ def _bwd_kernel(x_ref, dout_ref,
     w0 = (step * g).astype(jnp.uint32)
     seed_a, seed_p = seed_ref[0, 0], seed_ref[0, 1]
     fast = _fast_softmax_enabled(attn_drop, proj_drop)
+    ablate = _bwd_ablate()          # "" in production (measurement-only)
 
     @pl.when(step == 0)
     def _zero_accs():
@@ -242,13 +258,15 @@ def _bwd_kernel(x_ref, dout_ref,
         s = jax.lax.dot_general(
             qp, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        s = s + bias_ref[h0 * m:(h0 + hb) * m, :].astype(jnp.float32)[None]
-        if with_mask:
+        if "nobias" not in ablate:
+            s = s + bias_ref[h0 * m:(h0 + hb) * m, :] \
+                .astype(jnp.float32)[None]
+        if with_mask and "nomask" not in ablate:
             mrep = jnp.concatenate([mask] * hb, axis=1)
             s = s * mrep
         else:
             mrep = None
-        p = _softmax(s, fast)
+        p = s if "nosoftmax" in ablate else _softmax(s, fast)
         if attn_drop > 0.0:
             km = attn_drop_mask(h0, hb)
             pd = p * km
@@ -258,17 +276,20 @@ def _bwd_kernel(x_ref, dout_ref,
         return qp, p, pd, km, mrep
 
     # Forward attention output (needed before its own backward).
-    attn = None
-    for h0 in range(0, num_heads, head_block):
-        hb = min(head_block, num_heads - h0)
-        _, _, pd, _, _ = scores(h0, hb)
-        o_full = jax.lax.dot_general(
-            pd.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        for j in range(hb):
-            part = o_full[:, j * m:(j + 1) * m, :] \
-                * cmV32[h0 + j][None, None, :]
-            attn = part if attn is None else attn + part
+    if "nofwd" in ablate:
+        attn = q.astype(jnp.float32)          # shape-correct placeholder
+    else:
+        attn = None
+        for h0 in range(0, num_heads, head_block):
+            hb = min(head_block, num_heads - h0)
+            _, _, pd, _, _ = scores(h0, hb)
+            o_full = jax.lax.dot_general(
+                pd.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            for j in range(hb):
+                part = o_full[:, j * m:(j + 1) * m, :] \
+                    * cmV32[h0 + j][None, None, :]
+                attn = part if attn is None else attn + part
     attn16 = attn.astype(jnp.bfloat16).reshape(g * m, cw)
     proj = dot2(attn16, wp_ref[:].astype(jnp.bfloat16)).reshape(g, m, c) \
         + bp_ref[0].astype(jnp.float32)[None, None, :]

@@ -31,7 +31,7 @@ class _FakeOut:
 def _fake_built():
     conf = object()  # MFU accounting failure is tolerated by design
     starts = np.zeros((8, 3), np.int32)
-    return (conf, (128, 128, 8), None, None, starts, _FakeOut)
+    return (conf, (128, 128, 8), None, None, starts, 8, _FakeOut)
 
 
 def _run_main(capsys):

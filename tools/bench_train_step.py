@@ -179,7 +179,8 @@ def _count_flops(which: str, batch: int = 2) -> float:
 def model_step_flops(which: str, batch: int = 2) -> float:
     """Cached model-flop count; computed in a CPU subprocess when the
     current process runs on the TPU backend."""
-    key = f"{FLOPS_VERSION}-{which}"
+    key = f"{FLOPS_VERSION}-{which}" if batch == 2 \
+        else f"{FLOPS_VERSION}-{which}-b{batch}"
     cache = {}
     if FLOPS_CACHE.exists():
         cache = json.loads(FLOPS_CACHE.read_text())
@@ -189,7 +190,8 @@ def model_step_flops(which: str, batch: int = 2) -> float:
         flops = _count_flops(which, batch)
     else:
         out = subprocess.run(
-            [sys.executable, __file__, "--flops-only", "--which", which],
+            [sys.executable, __file__, "--flops-only", "--which", which,
+             "--batch", str(batch)],
             capture_output=True, text=True, cwd=REPO, timeout=1800)
         if out.returncode != 0:
             raise RuntimeError(f"flops subprocess failed:\n{out.stderr[-2000:]}")
@@ -232,10 +234,18 @@ if __name__ == "__main__":
     ap.add_argument("--flops-only", action="store_true",
                     help="print model-flop counts as JSON (CPU backend)")
     ap.add_argument("--no-mfu", action="store_true")
+    ap.add_argument("--batch", default="2",
+                    help="batch size, or comma list for a scaling sweep "
+                         "(e.g. 2,4,8 — VERDICT r4 item 5: if the "
+                         "latency-bound explanation of the low train MFU "
+                         "holds, ms/step must scale sub-linearly)")
     args = ap.parse_args()
     whats = ["downstream", "phase2"] if args.which == "both" else [args.which]
+    batches = [int(b) for b in str(args.batch).split(",")]
     if args.flops_only:
-        print(json.dumps({w: _count_flops(w) for w in whats}))
+        print(json.dumps({w: _count_flops(w, batches[0]) for w in whats}))
     else:
         for w in whats:
-            bench(w, remat=not args.no_remat, mfu=not args.no_mfu)
+            for b in batches:
+                bench(w, batch=b, remat=not args.no_remat,
+                      mfu=not args.no_mfu)

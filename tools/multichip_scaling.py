@@ -58,13 +58,32 @@ _NORMALIZERS = [
     # Channel/computation ids may renumber between lowerings.
     (re.compile(r"channel_id=\d+"), "channel_id=N"),
     (re.compile(r"sharding=\{[^}]*\}"), "sharding={N}"),
+    # Source-location metadata attributes (table ids renumber freely).
+    (re.compile(r"metadata=\{[^}]*\}"), ""),
+    # SCALAR float constants: global-batch mean normalizations (loss /
+    # metric means divide by batch*N) are the ONE mathematically
+    # mesh-dependent piece of the per-device program.  Masking scalar
+    # literals keeps every op kind, every tensor shape and every layout
+    # in the hash — the invariance claim is "same kernels on same
+    # shapes; only collective replica sets and batch-mean scalars
+    # scale with the mesh".
+    (re.compile(r"constant\(-?[0-9][0-9.eE+-]*\)"), "constant(S)"),
+    # SSA value-number suffixes (%mul.2425, %param_13.57) renumber when
+    # an unrelated constant shifts the counter; ops/shapes are what the
+    # hash must pin.
+    (re.compile(r"\.\d+\b"), ".N"),
 ]
+# Line-level filters: numbered source-location index tables
+# (``NNN {file_name_id=...}`` etc.) renumber wholesale between
+# lowerings and carry no program semantics.
+_TABLE_LINE = re.compile(r"\s*\d+ \{[a-z_]+_id=")
 
 
 def normalized_hlo_hash(text: str) -> str:
     for pat, repl in _NORMALIZERS:
         text = pat.sub(repl, text)
-    return hashlib.sha256(text.encode()).hexdigest()[:16]
+    lines = [l for l in text.splitlines() if not _TABLE_LINE.match(l)]
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
 _SHAPE_BYTES = {
