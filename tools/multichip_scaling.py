@@ -50,7 +50,7 @@ _NORMALIZERS = [
     # Collective replica sets and device assignments grow with the mesh.
     (re.compile(r"replica_groups=\{[^}]*\}"), "replica_groups={N}"),
     (re.compile(r"replica_groups=\[[^\]]*\]"
-                r"(<=\[[0-9,]*\]\{[0-9,]*\})?"), "replica_groups=[N]"),
+                r"(?:<=\[[0-9,]*\])?"), "replica_groups=[N]"),
     (re.compile(r"num_partitions=\d+"), "num_partitions=N"),
     (re.compile(r"device_assignment=\{[^}]*\}"), "device_assignment={N}"),
     (re.compile(r'"device_assignment":\s*\[[^\]]*\]'),
@@ -72,6 +72,11 @@ _NORMALIZERS = [
     # an unrelated constant shifts the counter; ops/shapes are what the
     # hash must pin.
     (re.compile(r"\.\d+\b"), ".N"),
+    # Value NAMES themselves alias freely (%broadcast.N vs %neg.N for
+    # the same broadcast op between lowerings).  Canonicalizing every
+    # %name keeps the per-line op kind, result/operand shapes, operand
+    # count and attributes — the hash pins that stream.
+    (re.compile(r"%[\w.\-]+"), "%v"),
 ]
 # Line-level filters: numbered source-location index tables
 # (``NNN {file_name_id=...}`` etc.) renumber wholesale between
@@ -119,8 +124,10 @@ def collective_bytes(text: str):
             continue
         shape_str, kind = m.groups()
         if shape_str.startswith("("):
-            nbytes = sum(_shape_bytes(p)
-                         for p in shape_str[1:-1].split(","))
+            # Tuple shapes: extract each dtype[dims] token whole (dims
+            # contain commas, so a split-on-comma would mangle them).
+            nbytes = sum(_shape_bytes(p) for p in
+                         re.findall(r"\w+\[[0-9,]*\]", shape_str))
         else:
             nbytes = _shape_bytes(shape_str)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0})
