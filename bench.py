@@ -40,7 +40,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 EST_A100_VOLUMES_PER_SEC = 2.0
 VOLUME = (320, 320, 24)       # 4*4*5 = 80 roi-sized windows at stride roi/2
-CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
+# Default 27 = the exact window count of the stride-0.75 grid below:
+# one scan step, zero padding slots (35.63 vs 31.26 vol/s at chunk 16,
+# same-session A/B — PERF.md round 5).
+CHUNK = int(os.environ.get("BENCH_CHUNK", "27"))
 ATTN_IMPL = os.environ.get("BENCH_ATTN_IMPL", "auto")
 # bf16 trunk is the production serving configuration (fp32 BatchNorm
 # stats / softmax / heads; numerics-tested vs fp32 in the suite).

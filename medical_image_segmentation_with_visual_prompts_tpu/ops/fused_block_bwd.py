@@ -60,6 +60,22 @@ def kernel_bwd_enabled() -> bool:
     return os.environ.get("MIVP_KERNEL_BWD", "1") not in ("0", "")
 
 
+def bwd_cache_p_enabled() -> bool:
+    """``MIVP_BWD_CACHE_P=1``: keep each head-block's softmax
+    probabilities (bf16) from the forward-recompute pass resident in
+    VMEM and skip the second score pass entirely.
+
+    The round-5 ablation (tools/bench_bwd_ablate.py, PERF.md) measured
+    the backward kernel as ~2/3 RECOMPUTE: the scores matmul + softmax
+    run twice per head block (once for the forward attention output,
+    once for the gradient chain).  Caching p trades
+    ``H·g·m·n`` bf16 bytes of VMEM for eliminating the second pass —
+    whether that survives the model-level VMEM/overlap economics is
+    decided by full-step A/B (the round-4 lesson), hence opt-in."""
+    import os
+    return os.environ.get("MIVP_BWD_CACHE_P", "0") not in ("0", "")
+
+
 def _bwd_ablate() -> str:
     """MEASUREMENT-ONLY ablation arms for tools/bench_bwd_ablate.py
     (the backward twin of the round-3 forward fast-softmax study).
@@ -96,6 +112,10 @@ def _vmem_estimate_bwd(g, hb, m, n, c, cw, num_heads, with_mask,
     est += 2 * g * hb * m * cw * 4       # do_full, dqp
     est += 10 * g * m * c * 4            # x, dout, y, x1, l2, dx, ...
     est += 2 * g * n * c * 4             # yv + dyv
+    if bwd_cache_p_enabled():
+        # bf16 probability cache: ALL head blocks' p live from the
+        # forward pass into the gradient loop.
+        est += g * num_heads * m * n * 2
     return est
 
 
@@ -276,13 +296,21 @@ def _bwd_kernel(x_ref, dout_ref,
         return qp, p, pd, km, mrep
 
     # Forward attention output (needed before its own backward).
+    # With the p-cache (bwd_cache_p_enabled), this pass ALSO retains
+    # each head block's softmax probabilities so the gradient loop
+    # below skips its entire score recompute (scores matmul + bias +
+    # mask + softmax — measured ~40% of the kernel, PERF.md round 5).
+    cache_p = bwd_cache_p_enabled() and "nofwd" not in ablate
+    p_cache = []
     if "nofwd" in ablate:
         attn = q.astype(jnp.float32)          # shape-correct placeholder
     else:
         attn = None
         for h0 in range(0, num_heads, head_block):
             hb = min(head_block, num_heads - h0)
-            _, _, pd, _, _ = scores(h0, hb)
+            _, p1st, pd, _, _ = scores(h0, hb)
+            if cache_p:
+                p_cache.append(p1st.astype(jnp.bfloat16))
             o_full = jax.lax.dot_general(
                 pd.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
@@ -330,9 +358,27 @@ def _bwd_kernel(x_ref, dout_ref,
     dk_acc = jnp.zeros((g, n, cw), jnp.float32)
     dv_acc = jnp.zeros((g, n, cw), jnp.float32)
     dq_tot = jnp.zeros((g, m, cw), jnp.float32)
-    for h0 in range(0, num_heads, head_block):
+    for blk, h0 in enumerate(range(0, num_heads, head_block)):
         hb = min(head_block, num_heads - h0)
-        qp, p, pd, km, mrep = scores(h0, hb)
+        if cache_p:
+            # Reuse pass-1 probabilities: only the CHEAP (VPU) pieces
+            # of scores() are rebuilt — the per-head q masking, the
+            # mask replica and the dropout keep-mask.  The bf16 cache
+            # rounding is the same class as the kernel's existing bf16
+            # operand casts (parity pinned in tests).
+            p = p_cache[blk].astype(jnp.float32)
+            qp = jnp.concatenate([q * cmK[hh][None, None, :]
+                                  for hh in range(h0, h0 + hb)], axis=1)
+            mrep = jnp.concatenate([mask] * hb, axis=1) \
+                if with_mask else None
+            if attn_drop > 0.0:
+                km = attn_drop_mask(h0, hb)
+                pd = p * km
+            else:
+                km = None
+                pd = p
+        else:
+            qp, p, pd, km, mrep = scores(h0, hb)
         do_full = jnp.concatenate(
             [dattn * cmV32[hh][None, None, :]
              for hh in range(h0, h0 + hb)], axis=1)     # [g, hb*m, cw]

@@ -120,6 +120,32 @@ def test_kernel_bwd_mask_modes_agree(monkeypatch, mask_dma):
     _compare(g_got, g_want)
 
 
+@pytest.mark.parametrize("drop", [0.0, 0.2])
+def test_kernel_bwd_cache_p_matches_reference(monkeypatch, drop):
+    """The p-cache opt-in (MIVP_BWD_CACHE_P=1 — reuse pass-1 softmax
+    probabilities instead of a second score pass) stays at the
+    reference-vjp parity floor, with masks, fold and dropout."""
+    monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("MIVP_BWD_CACHE_P", "1")
+    x, tokens, params, h, scale = _setup()
+    b, p_, m, c = x.shape
+    bias = _bias(m, 4, h, True)
+    labels = _labels(p_, m, 4, True)
+    seeds = jnp.asarray([11, 22], jnp.uint32) if drop else None
+
+    def loss(x_, t_, pr_):
+        out = fused_swin_block(x_, t_, pr_, bias, labels, scale, h,
+                               fold_mode=FOLD_COUNT, dropout_seeds=seeds,
+                               attn_drop=drop, proj_drop=drop,
+                               interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (x, tokens, params)
+    g_want = _grads(monkeypatch, loss, args, kernel_bwd=False)
+    g_got = _grads(monkeypatch, loss, args, kernel_bwd=True)
+    _compare(g_got, g_want)
+
+
 @pytest.mark.parametrize("force_g", ["2", "1"])
 def test_kernel_bwd_through_shifted_module(monkeypatch, force_g):
     """Full module grads (fused window shift + masks + adaptive fold)

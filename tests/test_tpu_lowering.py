@@ -81,6 +81,33 @@ def test_training_pair_with_dropout_lowers_for_tpu(monkeypatch):
     _export_tpu(jax.grad(loss), params, x)
 
 
+def test_kernel_bwd_cache_p_lowers_for_tpu(monkeypatch):
+    """The MIVP_BWD_CACHE_P opt-in (reuse pass-1 softmax probabilities
+    in the backward kernel) lowers for TPU with dropout + masks."""
+    from medical_image_segmentation_with_visual_prompts_tpu.models import (
+        ConsecutiveSwinBlocks)
+
+    c, heads = 48, 4
+    blk = ConsecutiveSwinBlocks(
+        hidden_channels=c, num_heads=heads, pos_bias_embed_dim=8,
+        max_prompts=1, tokens_per_prompt=4, use_token_params=True,
+        window_size=(8, 8, 4), down=False, use_checkpoint=True,
+        attn_drop=0.1, proj_drop=0.1, attn_impl="auto", pad_mode="aligned")
+    x = jnp.zeros((1, 32, 32, 4, c))
+    ps = tuple(jnp.zeros((1, 4, c)) for _ in range(2))
+    params = blk.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, x, ps)
+    monkeypatch.setattr(wap, "_FORCE_TPU_PATH", True)
+    monkeypatch.setenv("MIVP_BWD_CACHE_P", "1")
+
+    def loss(pr, xx):
+        out = blk.apply(pr, xx, ps, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    _export_tpu(jax.grad(loss), params, x)
+
+
 def test_mask_dma_fallback_lowers_for_tpu(monkeypatch):
     """The MIVP_MASK_DMA ladder tier (materialized-mask DMA instead of
     int32 label operands) also lowers for TPU — it must stay a WORKING

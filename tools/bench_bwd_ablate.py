@@ -38,11 +38,13 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 ARMS = [
-    ("full", ""),
-    ("nofwd", "nofwd"),
-    ("nosoftmax", "nosoftmax"),
-    ("nosoftmax+nofwd", "nosoftmax,nofwd"),
-    ("matmul-floor", "nobias,nomask,nosoftmax,nofwd"),
+    # (name, MIVP_BWD_ABLATE, MIVP_BWD_CACHE_P)
+    ("full", "", "0"),
+    ("cache-p", "", "1"),       # CORRECT gradients — the candidate opt-in
+    ("nofwd", "nofwd", "0"),
+    ("nosoftmax", "nosoftmax", "0"),
+    ("nosoftmax+nofwd", "nosoftmax,nofwd", "0"),
+    ("matmul-floor", "nobias,nomask,nosoftmax,nofwd", "0"),
 ]
 
 # Canonical training geometries of the flagship config (batch 2):
@@ -94,14 +96,16 @@ def main():
         fwd_ms = device_ms(fwd, *fargs)
         print(f"[{gname}] forward-only: {fwd_ms:.3f} ms")
         full_ms = None
-        for aname, env in ARMS:
+        for aname, env, cache in ARMS:
             os.environ["MIVP_BWD_ABLATE"] = env
+            os.environ["MIVP_BWD_CACHE_P"] = cache
             try:
                 # Fresh build per arm: the env is read at trace time.
                 _, grad, fargs = _build(drop=args.drop, **geom)
                 ms = device_ms(grad, *fargs)
             finally:
                 os.environ.pop("MIVP_BWD_ABLATE", None)
+                os.environ.pop("MIVP_BWD_CACHE_P", None)
             bwd = ms - fwd_ms
             if full_ms is None:
                 full_ms = bwd
