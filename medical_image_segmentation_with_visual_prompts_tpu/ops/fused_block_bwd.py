@@ -61,19 +61,22 @@ def kernel_bwd_enabled() -> bool:
 
 
 def bwd_cache_p_enabled() -> bool:
-    """``MIVP_BWD_CACHE_P=1``: keep each head-block's softmax
-    probabilities (bf16) from the forward-recompute pass resident in
-    VMEM and skip the second score pass entirely.
+    """p-cache (default ON; ``MIVP_BWD_CACHE_P=0`` is the kill-switch):
+    keep each head-block's softmax probabilities (bf16) from the
+    forward-recompute pass resident in VMEM and skip the second score
+    pass entirely.
 
     The round-5 ablation (tools/bench_bwd_ablate.py, PERF.md) measured
     the backward kernel as ~2/3 RECOMPUTE: the scores matmul + softmax
     run twice per head block (once for the forward attention output,
-    once for the gradient chain).  Caching p trades
-    ``H·g·m·n`` bf16 bytes of VMEM for eliminating the second pass —
-    whether that survives the model-level VMEM/overlap economics is
-    decided by full-step A/B (the round-4 lesson), hence opt-in."""
+    once for the gradient chain).  Caching p trades ``H·g·m·n`` bf16
+    bytes of VMEM (modeled in the estimate, so the (g, hb) pick stays
+    honest) for eliminating the second pass.  Promoted to default after
+    BOTH model-level same-session A/Bs won — phase-2 step 15.68→15.33
+    ms, downstream 11.55→10.86 ms — the round-4 VMEM/overlap test
+    these decisions require."""
     import os
-    return os.environ.get("MIVP_BWD_CACHE_P", "0") not in ("0", "")
+    return os.environ.get("MIVP_BWD_CACHE_P", "1") not in ("0", "")
 
 
 def _bwd_ablate() -> str:

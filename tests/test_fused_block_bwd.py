@@ -120,13 +120,14 @@ def test_kernel_bwd_mask_modes_agree(monkeypatch, mask_dma):
     _compare(g_got, g_want)
 
 
+@pytest.mark.parametrize("cache", ["1", "0"])
 @pytest.mark.parametrize("drop", [0.0, 0.2])
-def test_kernel_bwd_cache_p_matches_reference(monkeypatch, drop):
-    """The p-cache opt-in (MIVP_BWD_CACHE_P=1 — reuse pass-1 softmax
-    probabilities instead of a second score pass) stays at the
-    reference-vjp parity floor, with masks, fold and dropout."""
+def test_kernel_bwd_cache_p_matches_reference(monkeypatch, drop, cache):
+    """The p-cache (default ON — reuse pass-1 softmax probabilities
+    instead of a second score pass) AND its =0 kill-switch both stay at
+    the reference-vjp parity floor, with masks, fold and dropout."""
     monkeypatch.setattr(wap, "_FORCE_INTERPRET", True)
-    monkeypatch.setenv("MIVP_BWD_CACHE_P", "1")
+    monkeypatch.setenv("MIVP_BWD_CACHE_P", cache)
     x, tokens, params, h, scale = _setup()
     b, p_, m, c = x.shape
     bias = _bias(m, 4, h, True)
