@@ -40,6 +40,22 @@ def test_readme_quotes_headline():
     assert f"{h['phase2_step_ms']:g} ms" in readme
 
 
+def test_headline_band_is_honest():
+    """VERDICT r4 weak #5: a drift guard that pins only the flattering
+    record is half a guard.  HEADLINE.json must carry the session band
+    and the latest driver capture, and README must quote BOTH the
+    record and the driver-comparable number next to the band."""
+    h = _headline()
+    assert h.get("session_band_pct", 0) >= 5
+    drv = h["last_driver_bench"]
+    readme = (REPO / "README.md").read_text()
+    assert f"±{h['session_band_pct']:g}%" in readme
+    assert f"{drv['volumes_per_sec']:g}" in readme
+    # The parity-grid number makes record vs driver comparable when the
+    # headline grid differs from the driver's last capture.
+    assert f"{h['stride05_parity_grid_volumes_per_sec']:g}" in readme
+
+
 def test_architecture_quotes_headline():
     h = _headline()
     arch = (REPO / "docs" / "ARCHITECTURE.md").read_text()
