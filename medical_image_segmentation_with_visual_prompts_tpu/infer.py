@@ -184,8 +184,8 @@ def make_runner(conf, variables, chunk: int = 16,
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
                   chunk: int = 16, runner: BucketedInference = None,
-                  stride=None,
-                  device_windowing: bool = True) -> Tuple[int, int]:
+                  stride=None, device_windowing: bool = True,
+                  decode_workers: int = 2) -> Tuple[int, int]:
     """Segment a batch of volumes with pipelined host IO.
 
     Loader and writer run in their own threads with bounded queues, so
@@ -207,14 +207,35 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     # float volume preprocessed here in the loader thread.
     raw_feed = runner.preprocess is not None
 
+    def _decode(sd):
+        src, dst = sd
+        try:
+            vol = load_image_raw(str(src)) if raw_feed else \
+                scale_intensity_range(load_image(str(src)))
+            return (src, dst, vol, None)
+        except Exception as e:              # surface per-volume failures
+            return (src, dst, None, e)
+
     def loader():
-        for src, dst in pairs:
-            try:
-                vol = load_image_raw(str(src)) if raw_feed else \
-                    scale_intensity_range(load_image(str(src)))
-                loaded.put((src, dst, vol, None))
-            except Exception as e:          # surface per-volume failures
-                loaded.put((src, dst, None, e))
+        # Bounded-parallel decode: gunzip+decode of several volumes
+        # overlap each other AND the chip (order preserved; at most
+        # ~queue+window volumes resident).  ``decode_workers=1``
+        # restores the serial loader.
+        if decode_workers <= 1:
+            for sd in pairs:
+                loaded.put(_decode(sd))
+            loaded.put(None)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=decode_workers) as ex:
+            pending = deque()
+            for sd in pairs:
+                pending.append(ex.submit(_decode, sd))
+                if len(pending) > decode_workers:
+                    loaded.put(pending.popleft().result())
+            while pending:
+                loaded.put(pending.popleft().result())
         loaded.put(None)
 
     def writer():

@@ -39,6 +39,8 @@ def main():
                          "instead of raw int16 H2D + device windowing")
     ap.add_argument("--stride", type=float, default=0.5,
                     help="sliding-window stride factor")
+    ap.add_argument("--decode-workers", type=int, default=2,
+                    help="parallel NIfTI decode threads (1 = serial)")
     args = ap.parse_args()
 
     from medical_image_segmentation_with_visual_prompts_tpu.data.nifti \
@@ -126,18 +128,24 @@ def main():
     n_shapes = len(set(shapes[: args.n]))
     t0 = time.perf_counter()
     serve_volumes(ns, variables, pairs[:n_shapes], chunk=args.chunk,
-                  runner=runner)
+                  runner=runner, decode_workers=args.decode_workers)
     print(f"WARMUP: {n_shapes} volumes in "
           f"{time.perf_counter() - t0:.1f}s "
           f"({runner.compiled_programs} compiled buckets)")
 
-    t0 = time.perf_counter()
-    n_done, n_failed = serve_volumes(ns, variables, pairs, chunk=args.chunk,
-                                     runner=runner)
-    dt = time.perf_counter() - t0
-    print(f"SERVING: {n_done} ok / {n_failed} failed, "
-          f"{n_done / dt:.3f} vol/s end-to-end warm "
-          f"({n_shapes} shapes)")
+    # Timed warm batches: serial decode first, then the parallel
+    # loader — both on the same compiled programs, so the delta is
+    # pure host-pipeline effect.
+    for workers in sorted({1, args.decode_workers}):
+        t0 = time.perf_counter()
+        n_done, n_failed = serve_volumes(
+            ns, variables, pairs, chunk=args.chunk, runner=runner,
+            decode_workers=workers)
+        dt = time.perf_counter() - t0
+        print(f"SERVING[decode_workers={workers}]: "
+              f"{n_done} ok / {n_failed} failed, "
+              f"{n_done / dt:.3f} vol/s end-to-end warm "
+              f"({n_shapes} shapes)")
 
 
 if __name__ == "__main__":
