@@ -68,14 +68,24 @@ def device_scale_intensity(a_min: float = -1000.0, a_max: float = 1000.0,
 
 
 def _predict_device(runner, roi, volume: np.ndarray):
-    """Crop to stride-aligned size and run bucketed Gaussian inference;
-    argmax + narrow-int cast stay ON DEVICE so only ``H*W*D`` bytes ever
-    cross the host link (the class-probability volume is num_classes*4x
-    larger — at the measured ~23 MB/s tunnel of this environment that
-    cast alone is most of a second per volume).  Returns the label crop
-    as an UNMATERIALIZED device array plus the crop slices."""
-    slices, _, _ = window_starts(volume.shape[:3], roi, runner.stride)
-    cropped = np.ascontiguousarray(volume[slices[0], slices[1], slices[2]])
+    """Run bucketed Gaussian inference; argmax + narrow-int cast stay
+    ON DEVICE so only ``H*W*D`` bytes ever cross the host link (the
+    class-probability volume is num_classes*4x larger — at the measured
+    ~23 MB/s tunnel of this environment that cast alone is most of a
+    second per volume).  ``coverage='pad'`` runners (the serving
+    default) segment EVERY voxel (volume padded up to the window grid
+    on the host, result cropped back); ``'crop'`` runners center-crop
+    to the stride-aligned grid first — the reference's evaluation
+    semantics, which drop up to stride-1 border voxels per axis.
+    Returns the label crop as an UNMATERIALIZED device array plus the
+    crop slices."""
+    if runner.coverage == "pad":
+        slices = tuple(slice(0, d) for d in volume.shape[:3])
+        cropped = np.ascontiguousarray(volume)
+    else:
+        slices, _, _ = window_starts(volume.shape[:3], roi, runner.stride)
+        cropped = np.ascontiguousarray(
+            volume[slices[0], slices[1], slices[2]])
     probs = runner(cropped)
     dtype = jnp.uint8 if probs.shape[-1] <= 256 else jnp.int16
     return jnp.argmax(probs, axis=-1).astype(dtype), slices
@@ -150,8 +160,8 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
 
 
 def make_runner(conf, variables, chunk: int = 16,
-                stride=None,
-                device_windowing: bool = True) -> BucketedInference:
+                stride=None, device_windowing: bool = True,
+                coverage: str = "pad") -> BucketedInference:
     """Build the warm serving runner: model, pre-filled position-bias
     cache, and the shape-bucketed sliding-window program cache.
 
@@ -163,6 +173,9 @@ def make_runner(conf, variables, chunk: int = 16,
     dtype, typically int16 HU) and intensity-windowed on device —
     halving the H2D payload on the link-bound from-disk path; pass
     False to feed host-preprocessed float volumes.
+    ``coverage='pad'`` (default) segments every voxel (pad-to-grid,
+    air-valued padding); ``'crop'`` reproduces the reference's
+    center-crop grid, leaving border voxels background.
     """
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -179,13 +192,20 @@ def make_runner(conf, variables, chunk: int = 16,
                              conf.output_channels_downstream,
                              mesh=dctx.mesh, stride=stride,
                              preprocess=(device_scale_intensity()
-                                         if device_windowing else None))
+                                         if device_windowing else None),
+                             coverage=coverage,
+                             # Air in the feed's own units: raw HU for
+                             # the int16 path, windowed 0.0 for host-
+                             # preprocessed floats.
+                             pad_value=(-1000.0 if device_windowing
+                                        else 0.0))
 
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
                   chunk: int = 16, runner: BucketedInference = None,
                   stride=None, device_windowing: bool = True,
-                  decode_workers: int = 2) -> Tuple[int, int]:
+                  decode_workers: int = 2,
+                  coverage: str = "pad") -> Tuple[int, int]:
     """Segment a batch of volumes with pipelined host IO.
 
     Loader and writer run in their own threads with bounded queues, so
@@ -198,7 +218,8 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
     roi = tuple(conf.roi_size)
     if runner is None:
         runner = make_runner(conf, variables, chunk, stride=stride,
-                             device_windowing=device_windowing)
+                             device_windowing=device_windowing,
+                             coverage=coverage)
     loaded: "queue.Queue" = queue.Queue(maxsize=2)
     to_write: "queue.Queue" = queue.Queue(maxsize=2)
     write_errors: List[Tuple[Path, Exception]] = []
@@ -297,8 +318,8 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
 def watch_directory(conf, variables, src: Path, out: Path,
                     chunk: int = 16, interval: float = 5.0,
                     min_age: float = 1.0, max_polls: int = None,
-                    stride=None,
-                    device_windowing: bool = True) -> Tuple[int, int]:
+                    stride=None, device_windowing: bool = True,
+                    coverage: str = "pad") -> Tuple[int, int]:
     """Production watch mode: poll ``src`` for new NIfTI volumes and
     segment them as they arrive, keeping the model and the bucketed
     program cache warm across polls.
@@ -312,7 +333,8 @@ def watch_directory(conf, variables, src: Path, out: Path,
     """
     out.mkdir(parents=True, exist_ok=True)
     runner = make_runner(conf, variables, chunk, stride=stride,
-                         device_windowing=device_windowing)
+                         device_windowing=device_windowing,
+                         coverage=coverage)
     seen = set()
     n_done = 0
     n_failed = 0
@@ -363,6 +385,13 @@ def main():
                              "roi (0.5 = reference parity; 0.75 runs "
                              "~2.5-3x fewer windows per volume at a small "
                              "border-quality cost — see BASELINE.md)")
+    parser.add_argument("--coverage", choices=["pad", "crop"],
+                        default="pad",
+                        help="'pad' (default) segments every voxel by "
+                             "padding up to the window grid; 'crop' "
+                             "center-crops to the grid (reference "
+                             "evaluation semantics — border voxels come "
+                             "back as background)")
     parser.add_argument("--host-windowing", action="store_true",
                         help="preprocess (intensity-window) volumes on the "
                              "host and upload float32, instead of the "
@@ -401,13 +430,15 @@ def main():
                         Path(args.output), chunk=args.chunk,
                         interval=args.watch_interval,
                         stride=args.stride_factor,
-                        device_windowing=not args.host_windowing)
+                        device_windowing=not args.host_windowing,
+                        coverage=args.coverage)
         return
     pairs = resolve_io(args.input, args.output)
     n_done, n_failed = serve_volumes(conf, variables, pairs,
                                      chunk=args.chunk,
                                      stride=args.stride_factor,
-                                     device_windowing=not args.host_windowing)
+                                     device_windowing=not args.host_windowing,
+                                     coverage=args.coverage)
     if n_failed or not n_done:
         raise SystemExit(1)
 

@@ -78,6 +78,20 @@ def bucket_shape(cropped: Sequence[int], window: Sequence[int]
     return tuple(int(-(-c // w) * w) for c, w in zip(cropped, window))
 
 
+def cover_shape(dims: Sequence[int], window: Sequence[int], stride=None
+                ) -> Tuple[int, ...]:
+    """Smallest stride-grid extent ``(n-1)·s + w ≥ dims`` per axis.
+
+    The pad-coverage serving mode pads the volume UP to this shape so
+    the uniform window grid covers every real voxel (the reference's
+    center-crop semantics instead discard up to ``s-1`` border voxels
+    per axis — increasingly lossy at larger strides)."""
+    stride = resolve_stride(window, stride)
+    return tuple(
+        int(max(w, -(-max(d - w, 0) // s) * s + w))
+        for d, w, s in zip(dims, window, stride))
+
+
 def bucketed_starts(cropped: Sequence[int], window: Sequence[int],
                     stride=None
                     ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
@@ -324,7 +338,8 @@ class BucketedInference:
 
     def __init__(self, apply_fn, window: Sequence[int], chunk: int,
                  num_classes: int, mesh=None, stride=None,
-                 preprocess=None):
+                 preprocess=None, coverage: str = "crop",
+                 pad_value: float = 0.0):
         self.apply_fn = apply_fn
         self.window = tuple(window)
         self.chunk = chunk
@@ -334,6 +349,17 @@ class BucketedInference:
         # Callers that center-crop the volume themselves must crop with
         # this same stride (window_starts(..., stride=runner.stride)).
         self.stride = resolve_stride(window, stride)
+        # ``coverage``: "crop" = the reference's center-crop-to-grid
+        # semantics (callers pre-crop; border voxels beyond the grid
+        # are dropped — up to stride-1 per axis).  "pad" = MONAI-style
+        # full coverage: the volume is padded UP to the stride-grid
+        # cover with ``pad_value`` (native-HU air for raw CT feeds),
+        # every real voxel lands in ≥1 window, and the stitched result
+        # is cropped back — no border loss at ANY stride.
+        if coverage not in ("crop", "pad"):
+            raise ValueError(f"coverage must be crop|pad, got {coverage}")
+        self.coverage = coverage
+        self.pad_value = pad_value
         self._runs = {}
         # Blend-weight volumes are keyed per distinct (bucket, dims) —
         # unlike the O(#buckets) program cache this can grow with every
@@ -352,9 +378,18 @@ class BucketedInference:
         center-cropped).  Returns stitched class probabilities
         [H', W', D', num_classes]."""
         dims = cropped.shape[:3]
-        bucket = bucket_shape(dims, self.window)
-        starts, valid, grid_shape = bucketed_starts(dims, self.window,
-                                                    self.stride)
+        if self.coverage == "pad":
+            # Full-coverage grid over the padded volume: every window
+            # is real (the pad regions contribute through the Gaussian
+            # blend exactly like interior overlap), result cropped back.
+            bucket = cover_shape(dims, self.window, self.stride)
+            _, starts, grid_shape = window_starts(bucket, self.window,
+                                                  self.stride)
+            valid = np.ones((starts.shape[0],), np.int32)
+        else:
+            bucket = bucket_shape(dims, self.window)
+            starts, valid, grid_shape = bucketed_starts(
+                dims, self.window, self.stride)
         key = (bucket, grid_shape)
         if key not in self._runs:
             self._runs[key] = make_sliding_window_fn(
@@ -362,7 +397,9 @@ class BucketedInference:
                 mode="gaussian", grid_shape=grid_shape, mesh=self.mesh,
                 stride=self.stride, preprocess=self.preprocess)
         pads = [(0, b - d) for b, d in zip(bucket, dims)] + [(0, 0)]
-        vol = np.pad(np.asarray(cropped), pads)
+        vol = np.pad(np.asarray(cropped), pads,
+                     constant_values=np.asarray(
+                         self.pad_value, np.asarray(cropped).dtype))
         starts_p, vvec = pad_starts(starts, self.chunk, valid)
         wkey = (bucket, dims)
         if wkey in self._waccs:

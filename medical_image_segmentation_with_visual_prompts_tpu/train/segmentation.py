@@ -414,18 +414,28 @@ class SegmentationTrainer:
                                deterministic=True)["downstream"]
 
         # ``test_stride_factor`` (default 0.5 = reference-parity grid)
-        # trades window count for border quality; see BASELINE.md
-        # "Stitched-mode quality" for measured Dice deltas per stride.
+        # trades window count for border quality; ``test_coverage: pad``
+        # evaluates the full volume (pad-to-grid) instead of the
+        # center-cropped grid.  Measured Dice deltas: BASELINE.md
+        # "Stitched-mode quality".
         stride = getattr(conf, "test_stride_factor", None)
+        coverage = getattr(conf, "test_coverage", "crop")
         runner = BucketedInference(apply_fn, roi, chunk, num_classes,
-                                   mesh=self.dctx.mesh, stride=stride)
+                                   mesh=self.dctx.mesh, stride=stride,
+                                   coverage=coverage)
         self._bucketed_runner = runner  # exposed for tests/diagnostics
         for step, batch in enumerate(self.train_loader):
             x = np.asarray(batch["image"])[0]
             m = np.asarray(batch["mask"])[0]
-            slices, _, _ = window_starts(x.shape[:3], roi, runner.stride)
-            x = np.ascontiguousarray(x[slices[0], slices[1], slices[2]])
-            m = np.ascontiguousarray(m[slices[0], slices[1], slices[2]])
+            if coverage == "pad":
+                pass            # full-volume evaluation, no grid crop
+            else:
+                slices, _, _ = window_starts(x.shape[:3], roi,
+                                             runner.stride)
+                x = np.ascontiguousarray(x[slices[0], slices[1],
+                                           slices[2]])
+                m = np.ascontiguousarray(m[slices[0], slices[1],
+                                           slices[2]])
             probs = runner(x)
             pred = np.asarray(jnp.argmax(probs, axis=-1))
             seg_true = np.asarray(

@@ -106,8 +106,10 @@ def test_serve_volumes_reports_failures(tmp_path):
     tiny = tmp_path / "tiny.nii.gz"
     save_nifti(str(good), np.zeros((20, 20, 10), np.float32), np.eye(4))
     bad.write_bytes(b"this is not a nifti")
-    # Smaller than the roi: loads fine, fails at inference — must be
-    # counted per-volume, not abort the batch.
+    # Smaller than the roi: pad coverage (the serving default) pads it
+    # up to one window and serves it; crop coverage (reference grid
+    # semantics) fails at inference — counted per-volume either way,
+    # never aborting the batch.
     save_nifti(str(tiny), np.zeros((4, 4, 2), np.float32), np.eye(4))
     out = tmp_path / "out"
     out.mkdir()
@@ -115,10 +117,19 @@ def test_serve_volumes_reports_failures(tmp_path):
         conf, variables,
         [(bad, out / "bad_seg.nii.gz"), (tiny, out / "tiny_seg.nii.gz"),
          (good, out / "good_seg.nii.gz")])
-    assert n_done == 1 and n_failed == 2
+    assert n_done == 2 and n_failed == 1
     assert (out / "good_seg.nii.gz").exists()
+    assert (out / "tiny_seg.nii.gz").exists()
     assert not (out / "bad_seg.nii.gz").exists()
-    assert not (out / "tiny_seg.nii.gz").exists()
+
+    out2 = tmp_path / "out_crop"
+    out2.mkdir()
+    n_done, n_failed = serve_volumes(
+        conf, variables,
+        [(bad, out2 / "bad_seg.nii.gz"), (tiny, out2 / "tiny_seg.nii.gz"),
+         (good, out2 / "good_seg.nii.gz")], coverage="crop")
+    assert n_done == 1 and n_failed == 2
+    assert not (out2 / "tiny_seg.nii.gz").exists()
 
 
 def test_serve_volumes_data_parallel_matches_single_device(tmp_path):

@@ -184,3 +184,53 @@ def test_bucketed_starts_stride_validity():
                   axis=1)
     np.testing.assert_array_equal(valid, fits)
     assert valid.sum() < starts.shape[0]
+
+
+def test_cover_shape_math():
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel. \
+        sliding_window import cover_shape
+    w = (16, 16, 8)
+    # aligned: unchanged; misaligned: next (n-1)s+w cover above dims
+    assert cover_shape((16, 16, 8), w, None) == (16, 16, 8)
+    assert cover_shape((24, 24, 12), w, None) == (24, 24, 12)
+    assert cover_shape((20, 18, 9), w, None) == (24, 24, 12)
+    assert cover_shape((20, 18, 9), w, 0.75) == (28, 28, 14)
+    assert cover_shape((4, 4, 2), w, None) == (16, 16, 8)  # < window
+
+
+@pytest.mark.parametrize("stride", [None, 0.75])
+def test_pad_coverage_segments_every_voxel(stride):
+    """Pad coverage: a constant-class model labels EVERY voxel of a
+    misaligned volume (crop coverage would leave border voxels for the
+    caller to background-fill)."""
+
+    def apply_fn(batch):
+        base = jnp.zeros(batch.shape[:-1] + (2,))
+        return base.at[..., 1].set(5.0)
+
+    roi = (8, 8, 4)
+    runner = BucketedInference(apply_fn, roi, chunk=4, num_classes=2,
+                               stride=stride, coverage="pad")
+    vol = np.random.default_rng(0).normal(
+        size=(21, 19, 11, 1)).astype(np.float32)
+    probs = np.asarray(runner(vol))
+    assert probs.shape == (21, 19, 11, 2)
+    assert (np.argmax(probs, -1) == 1).all()
+
+
+def test_pad_coverage_equals_crop_on_aligned_volume():
+    """On a grid-aligned volume pad coverage degenerates to the crop
+    grid: same windows, same weights, same stitched numbers."""
+
+    def apply_fn(batch):
+        return jnp.concatenate([batch, -batch], axis=-1) * 2.0
+
+    roi = (8, 8, 4)
+    vol = np.random.default_rng(1).normal(
+        size=(16, 16, 8, 1)).astype(np.float32)
+    out = {}
+    for cov in ("pad", "crop"):
+        runner = BucketedInference(apply_fn, roi, chunk=4, num_classes=2,
+                                   coverage=cov)
+        out[cov] = np.asarray(runner(vol))
+    np.testing.assert_allclose(out["pad"], out["crop"], rtol=1e-6)

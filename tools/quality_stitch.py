@@ -46,7 +46,10 @@ TINY_YML = REPO / "configurations" / "tiny_cpu.yml"
 
 
 def make_dataset(root: Path, n_train: int = 4, n_test: int = 4,
-                 shape=(40, 40, 20), seed: int = 7):
+                 shape=(42, 38, 21), seed: int = 7):
+    # Deliberately grid-MISALIGNED dims: the crop-coverage protocols
+    # discard border voxels (2-6 per axis at stride 0.5, up to 11 at
+    # 0.75), which is exactly what the pad-coverage rows quantify.
     """Separable blob task: bright ellipsoid foreground (label 2) on
     noise, blob centers jittered so borders matter."""
     rng = np.random.default_rng(seed)
@@ -122,18 +125,21 @@ def run(epochs: int = 8, seed: int = 7):
         ckpt = sorted(Path(conf.save_ckpt_prompt_tokens_path)
                       .glob("*.ckpt"))[-1]
 
-        protocols = [("per_window", "none", None),
-                     ("gaussian@0.5", "gaussian", 0.5),
-                     ("gaussian@0.75", "gaussian", 0.75),
-                     ("gaussian@1.0", "gaussian", 1.0)]
+        protocols = [("per_window", "none", None, "crop"),
+                     ("gaussian@0.5", "gaussian", 0.5, "crop"),
+                     ("gaussian@0.75", "gaussian", 0.75, "crop"),
+                     ("gaussian@1.0", "gaussian", 1.0, "crop"),
+                     ("gaussian@0.5+pad", "gaussian", 0.5, "pad"),
+                     ("gaussian@0.75+pad", "gaussian", 0.75, "pad")]
         results = {}
-        for name, blending, stride in protocols:
+        for name, blending, stride, coverage in protocols:
             conf_t = build_conf("test", "downstream", tmp, dirs,
                                 load_ckpt_prompt_tokens=True,
                                 load_ckpt_prompt_tokens_path=str(ckpt))
             conf_t.test_blending = blending
             if stride is not None:
                 conf_t.test_stride_factor = stride
+            conf_t.test_coverage = coverage
             vals = cli.setup_testing(conf_t).test()
             results[name] = {
                 "dice_mean": float(np.mean(vals["dcc"])),
@@ -146,7 +152,7 @@ def run(epochs: int = 8, seed: int = 7):
         for name, r in results.items():
             r["dice_delta_vs_per_window"] = round(r["dice_mean"] - ref, 4)
             r["dice_delta_vs_gaussian05"] = round(r["dice_mean"] - g05, 4)
-        return {"config": "tiny_cpu (roi 16x16x8), 40x40x20 volumes, "
+        return {"config": "tiny_cpu (roi 16x16x8), 42x38x21 volumes, "
                           f"{epochs} epochs, seed {seed}",
                 "protocols": results}
 
