@@ -39,7 +39,11 @@ configure_backend()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 EST_A100_VOLUMES_PER_SEC = 2.0
-VOLUME = (320, 320, 24)       # 4*4*5 = 80 roi-sized windows at stride roi/2
+# Canonical bench volume; BENCH_VOLUME=H,W,D overrides (e.g. 512,512,64
+# for a clinical-CT-sized datapoint — vs_baseline stays scaled to the
+# canonical A100 estimate only for the canonical volume).
+VOLUME = tuple(int(v) for v in os.environ.get(
+    "BENCH_VOLUME", "320,320,24").split(","))
 # Default 27 = the exact window count of the stride-0.75 grid below:
 # one scan step, zero padding slots (35.63 vs 31.26 vol/s at chunk 16,
 # same-session A/B — PERF.md round 5).
