@@ -108,10 +108,13 @@ def main():
                 out = fwd(variables, x)
             out.block_until_ready()
     else:
-        VOLUME = (320, 320, 24)
+        import os
+        VOLUME = tuple(int(v) for v in os.environ.get(
+            "BENCH_VOLUME", "320,320,24").split(","))
+        stride = float(os.environ.get("BENCH_STRIDE", "0.5"))
         rng = np.random.default_rng(0)
         vol_np = rng.normal(0.3, 0.2, size=(*VOLUME, 1)).astype(np.float32)
-        slices, starts, grid_shape = window_starts(VOLUME, roi)
+        slices, starts, grid_shape = window_starts(VOLUME, roi, stride)
 
         def apply_fn(batch):
             return model.apply(variables, batch,
@@ -119,7 +122,7 @@ def main():
 
         run = make_sliding_window_fn(
             apply_fn, roi, args.chunk, conf.output_channels_downstream,
-            mode="gaussian", grid_shape=grid_shape)
+            mode="gaussian", grid_shape=grid_shape, stride=stride)
         vol_np = vol_np[slices[0], slices[1], slices[2]]
         starts, n_valid = pad_starts(starts, args.chunk)
         volume = jax.device_put(jnp.asarray(vol_np))
