@@ -106,7 +106,7 @@ def _stitch_labels(runner, roi, volume: np.ndarray) -> np.ndarray:
 
 
 def segment_volume(conf, variables, volume: np.ndarray,
-                   chunk: int = 16, stride=None) -> np.ndarray:
+                   chunk=None, stride=None) -> np.ndarray:
     """[H, W, D, 1] preprocessed volume -> [H, W, D] int labels."""
     model_conf = ModelConfig.from_namespace(conf)
     model = SwinUnetR(model_conf)
@@ -122,7 +122,7 @@ def segment_volume(conf, variables, volume: np.ndarray,
     # same batched sliding-window serving as the trainer test path.
     from .train.common import DeviceCtx
     dctx = DeviceCtx(conf)
-    runner = BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
+    runner = BucketedInference(apply_fn, roi, chunk,
                                conf.output_channels_downstream,
                                mesh=dctx.mesh, stride=stride)
     return _stitch_labels(runner, roi, volume)
@@ -159,7 +159,7 @@ def resolve_io(inputs: List[str], output: str) -> List[Tuple[Path, Path]]:
     return pairs
 
 
-def make_runner(conf, variables, chunk: int = 16,
+def make_runner(conf, variables, chunk=None,
                 stride=None, device_windowing: bool = True,
                 coverage: str = "pad") -> BucketedInference:
     """Build the warm serving runner: model, pre-filled position-bias
@@ -188,7 +188,7 @@ def make_runner(conf, variables, chunk: int = 16,
 
     from .train.common import DeviceCtx
     dctx = DeviceCtx(conf)
-    return BucketedInference(apply_fn, roi, dctx.round_batch(chunk),
+    return BucketedInference(apply_fn, roi, chunk,
                              conf.output_channels_downstream,
                              mesh=dctx.mesh, stride=stride,
                              preprocess=(device_scale_intensity()
@@ -202,7 +202,7 @@ def make_runner(conf, variables, chunk: int = 16,
 
 
 def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
-                  chunk: int = 16, runner: BucketedInference = None,
+                  chunk=None, runner: BucketedInference = None,
                   stride=None, device_windowing: bool = True,
                   decode_workers: int = 2,
                   coverage: str = "pad") -> Tuple[int, int]:
@@ -316,7 +316,7 @@ def serve_volumes(conf, variables, pairs: List[Tuple[Path, Path]],
 
 
 def watch_directory(conf, variables, src: Path, out: Path,
-                    chunk: int = 16, interval: float = 5.0,
+                    chunk=None, interval: float = 5.0,
                     min_age: float = 1.0, max_polls: int = None,
                     stride=None, device_windowing: bool = True,
                     coverage: str = "pad") -> Tuple[int, int]:
@@ -379,7 +379,9 @@ def main():
                         help="output file (single input) or directory")
     parser.add_argument("--use-encoder-prompting", action="store_true")
     parser.add_argument("--use-decoder-prompting", action="store_true")
-    parser.add_argument("--chunk", type=int, default=16)
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="window batch per forward; default auto (whole grid\n"
+                             "when <=32 windows — one scan step, no padding slots)")
     parser.add_argument("--stride-factor", type=float, default=0.5,
                         help="sliding-window stride as a fraction of the "
                              "roi (0.5 = reference parity; 0.75 runs "

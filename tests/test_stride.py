@@ -234,3 +234,29 @@ def test_pad_coverage_equals_crop_on_aligned_volume():
                                    coverage=cov)
         out[cov] = np.asarray(runner(vol))
     np.testing.assert_allclose(out["pad"], out["crop"], rtol=1e-6)
+
+
+def test_auto_chunk_resolution_and_equivalence():
+    """chunk=None: whole grid in one scan step when <=32 windows (mesh-
+    rounded for DP), and numerically identical to an explicit chunk."""
+    from medical_image_segmentation_with_visual_prompts_tpu.parallel. \
+        mesh import make_mesh
+
+    def apply_fn(batch):
+        return jnp.concatenate([batch, -batch], axis=-1)
+
+    roi = (8, 8, 4)
+    vol = np.random.default_rng(5).normal(
+        size=(16, 16, 8, 1)).astype(np.float32)      # 27-window grid
+    auto = BucketedInference(apply_fn, roi, None, 2)
+    assert auto._resolve_chunk(9) == 9
+    assert auto._resolve_chunk(80) == 16
+    out_auto = np.asarray(auto(vol))
+    assert list(auto._runs.keys())[0][2] == 27       # one scan step
+    fixed = BucketedInference(apply_fn, roi, 4, 2)
+    np.testing.assert_allclose(out_auto, np.asarray(fixed(vol)),
+                               rtol=2e-5, atol=1e-6)
+
+    meshed = BucketedInference(apply_fn, roi, None, 2, mesh=make_mesh(8))
+    assert meshed._resolve_chunk(9) == 16            # mesh multiple
+    assert meshed._resolve_chunk(27) == 32
