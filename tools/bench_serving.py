@@ -31,7 +31,8 @@ from __graft_entry__ import _flagship_conf
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=12)
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="window batch per forward (default: auto)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny CPU-runnable geometry for smoke tests")
     ap.add_argument("--host-windowing", action="store_true",
