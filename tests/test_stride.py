@@ -260,3 +260,24 @@ def test_auto_chunk_resolution_and_equivalence():
     meshed = BucketedInference(apply_fn, roi, None, 2, mesh=make_mesh(8))
     assert meshed._resolve_chunk(9) == 16            # mesh multiple
     assert meshed._resolve_chunk(27) == 32
+
+
+def test_coset_stitch_fuzz_random_geometries():
+    """Randomized window/stride/volume combos against the naive
+    scatter — catches coset-pitch edge cases the parametrized cases
+    miss (ragged per-axis strides, tails, tiny grids)."""
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        window = tuple(int(rng.integers(2, 9)) for _ in range(3))
+        stride = tuple(int(rng.integers(1, w + 1)) for w in window)
+        vol = tuple(int(w + rng.integers(0, 3 * s))
+                    for w, s in zip(window, stride))
+        slc, starts, grid = window_starts(vol, window, stride)
+        out_spatial = tuple(s.stop - s.start for s in slc)
+        vals = rng.normal(size=(starts.shape[0], *window, 2)) \
+            .astype(np.float32)
+        got = np.asarray(_coset_stitch(jnp.asarray(vals), grid, window,
+                                       stride, out_spatial))
+        want = _naive_stitch(vals, starts, window, out_spatial)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{window} {stride} {vol}")
