@@ -407,7 +407,6 @@ class SegmentationTrainer:
         num_classes = self.num_classes
         active = tuple(conf.active_labels_downstream)
         roi = tuple(conf.roi_size)
-        chunk = self.dctx.round_batch(_TEST_CHUNK)
 
         def apply_fn(batch):
             return model.apply(variables, batch,
@@ -417,10 +416,13 @@ class SegmentationTrainer:
         # trades window count for border quality; ``test_coverage: pad``
         # evaluates the full volume (pad-to-grid) instead of the
         # center-cropped grid.  Measured Dice deltas: BASELINE.md
-        # "Stitched-mode quality".
+        # "Stitched-mode quality".  The window batch auto-sizes per
+        # bucket (chunk=None — whole grid in one scan step when it
+        # fits, mesh-rounded; the per-window protocol above keeps the
+        # reference's fixed chunk).
         stride = getattr(conf, "test_stride_factor", None)
         coverage = getattr(conf, "test_coverage", "crop")
-        runner = BucketedInference(apply_fn, roi, chunk, num_classes,
+        runner = BucketedInference(apply_fn, roi, None, num_classes,
                                    mesh=self.dctx.mesh, stride=stride,
                                    coverage=coverage)
         self._bucketed_runner = runner  # exposed for tests/diagnostics
